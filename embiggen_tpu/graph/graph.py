@@ -1,0 +1,557 @@
+"""Immutable CSR graph container — the TPU-native replacement of the ensmallen
+Graph object (reference usage census: SURVEY.md §2.9; e.g. reference
+`embiggen/utils/abstract_gcn.py:136-147`, `graph_embedding_pipeline.py:92`).
+
+Design: host-side storage is vectorized numpy (build/query/holdouts run on host);
+`Graph.device()` exports a `DeviceGraph` pytree of jnp arrays that the Pallas/XLA
+sampling and SpMM kernels consume. All shapes are static per graph instance, which
+is what XLA tracing requires.
+
+Undirected graphs store both arcs (symmetrized CSR), mirroring the reference
+engine's adjacency semantics: `number_of_directed_edges` counts arcs, while
+`number_of_edges` counts undirected edges when `directed=False`.
+"""
+from __future__ import annotations
+
+import dataclasses
+from functools import cached_property
+from typing import Dict, List, Optional, Sequence, Tuple, Union
+
+import numpy as np
+
+
+def _as_names(names: Optional[Sequence[str]], count: int, prefix: str) -> np.ndarray:
+    if names is None:
+        return np.asarray([f"{prefix}{i}" for i in range(count)], dtype=object)
+    arr = np.asarray(names, dtype=object)
+    if arr.shape[0] != count:
+        raise ValueError(f"Expected {count} {prefix} names, got {arr.shape[0]}")
+    return arr
+
+
+@dataclasses.dataclass(frozen=True)
+class DeviceGraph:
+    """JAX pytree view of a Graph's CSR arrays, ready for on-device kernels."""
+
+    row_ptr: "jax.Array"            # [N+1] int32
+    col_idx: "jax.Array"            # [E] int32 (sorted within each row)
+    degrees: "jax.Array"            # [N] int32
+    weights: Optional["jax.Array"]  # [E] f32 or None
+    edge_types: Optional["jax.Array"]  # [E] int32 or None
+    # Alias tables for O(1) weighted neighbour sampling, aligned with col_idx.
+    alias_prob: Optional["jax.Array"]  # [E] f32
+    alias_idx: Optional["jax.Array"]   # [E] int32 (intra-row offsets)
+    n_nodes: int
+    n_arcs: int
+
+    def tree_flatten(self):
+        children = (self.row_ptr, self.col_idx, self.degrees, self.weights,
+                    self.edge_types, self.alias_prob, self.alias_idx)
+        aux = (self.n_nodes, self.n_arcs)
+        return children, aux
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, *aux)
+
+
+def _register_device_graph():
+    import jax
+    try:
+        jax.tree_util.register_pytree_node(
+            DeviceGraph, DeviceGraph.tree_flatten, DeviceGraph.tree_unflatten
+        )
+    except ValueError:
+        pass  # already registered (module reloaded)
+
+
+_register_device_graph()
+
+
+def build_alias_tables(
+    row_ptr: np.ndarray, weights: np.ndarray
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Vectorized Walker alias-table construction for every node's neighbour
+    distribution at once. Returns (prob, alias) aligned with col_idx; alias holds
+    intra-row neighbour offsets.
+
+    Replaces the per-walk weighted sampling done inside the reference engine's
+    Rust walk kernel (reference `embiggen/sequences/node2vec_sequence.py:190-203`
+    delegates to `graph.node2vec`).
+    """
+    n_edges = weights.shape[0]
+    prob = np.zeros(n_edges, dtype=np.float32)
+    alias = np.zeros(n_edges, dtype=np.int32)
+    degrees = np.diff(row_ptr)
+    # Normalize per row: scaled = w * deg / sum(w)
+    row_of_edge = np.repeat(np.arange(len(degrees)), degrees)
+    row_sums = np.zeros(len(degrees), dtype=np.float64)
+    np.add.at(row_sums, row_of_edge, weights.astype(np.float64))
+    safe = np.where(row_sums == 0, 1.0, row_sums)
+    scaled = weights.astype(np.float64) * degrees[row_of_edge] / safe[row_of_edge]
+
+    # Classic two-stack alias build, per row (python loop over rows only for the
+    # small/large pairing; rows are independent). For speed, loop is in numpy
+    # per-row via arrays; rows with uniform weights short-circuit.
+    for r in np.nonzero(degrees > 0)[0]:
+        s, e = row_ptr[r], row_ptr[r + 1]
+        p = scaled[s:e].copy()
+        d = e - s
+        pr = prob[s:e]
+        al = alias[s:e]
+        if np.allclose(p, 1.0):
+            pr[:] = 1.0
+            al[:] = np.arange(d)
+            continue
+        small = [i for i in range(d) if p[i] < 1.0]
+        large = [i for i in range(d) if p[i] >= 1.0]
+        while small and large:
+            sm = small.pop()
+            lg = large.pop()
+            pr[sm] = p[sm]
+            al[sm] = lg
+            p[lg] = p[lg] - (1.0 - p[sm])
+            (small if p[lg] < 1.0 else large).append(lg)
+        for i in large + small:
+            pr[i] = 1.0
+            al[i] = i
+    return prob, alias
+
+
+@dataclasses.dataclass(frozen=True)
+class Graph:
+    """Immutable graph: CSR adjacency + optional weights, node/edge types and
+    string vocabularies."""
+
+    row_ptr: np.ndarray                     # [N+1] int64
+    col_idx: np.ndarray                     # [E] int32, sorted per row
+    directed: bool = True
+    name: str = "Graph"
+    weights: Optional[np.ndarray] = None    # [E] f32
+    edge_types: Optional[np.ndarray] = None  # [E] int32
+    # Multilabel node types: CSR of type ids per node.
+    node_type_ptr: Optional[np.ndarray] = None  # [N+1]
+    node_type_ids: Optional[np.ndarray] = None  # [sum labels]
+    node_names: Optional[np.ndarray] = None
+    node_type_names: Optional[np.ndarray] = None
+    edge_type_names: Optional[np.ndarray] = None
+
+    # ------------------------------------------------------------------ basic
+    @property
+    def number_of_nodes(self) -> int:
+        return int(self.row_ptr.shape[0] - 1)
+
+    @property
+    def number_of_directed_edges(self) -> int:
+        return int(self.col_idx.shape[0])
+
+    @property
+    def number_of_edges(self) -> int:
+        if self.directed:
+            return self.number_of_directed_edges
+        n_self = int(np.sum(self.sources == self.col_idx))
+        return (self.number_of_directed_edges - n_self) // 2 + n_self
+
+    @cached_property
+    def sources(self) -> np.ndarray:
+        """[E] source node of each arc (CSR row expansion)."""
+        return np.repeat(
+            np.arange(self.number_of_nodes, dtype=self.col_idx.dtype), self.degrees
+        )
+
+    @property
+    def destinations(self) -> np.ndarray:
+        return self.col_idx
+
+    @cached_property
+    def degrees(self) -> np.ndarray:
+        return np.diff(self.row_ptr).astype(np.int32)
+
+    @property
+    def has_edge_weights(self) -> bool:
+        return self.weights is not None
+
+    @property
+    def has_edge_types(self) -> bool:
+        return self.edge_types is not None
+
+    @property
+    def has_node_types(self) -> bool:
+        return self.node_type_ids is not None
+
+    @property
+    def density(self) -> float:
+        n = self.number_of_nodes
+        if n < 2:
+            return 0.0
+        return self.number_of_directed_edges / (n * (n - 1))
+
+    @cached_property
+    def node_name_to_id(self) -> Dict[str, int]:
+        return {n: i for i, n in enumerate(self.get_node_names())}
+
+    def get_node_names(self) -> np.ndarray:
+        return _as_names(self.node_names, self.number_of_nodes, "node_")
+
+    def get_node_ids_from_names(self, names: Sequence[str]) -> np.ndarray:
+        m = self.node_name_to_id
+        return np.asarray([m[n] for n in names], dtype=np.int32)
+
+    def get_edge_type_names(self) -> Optional[np.ndarray]:
+        if self.edge_types is None:
+            return None
+        n_types = int(self.edge_types.max()) + 1 if len(self.edge_types) else 0
+        return _as_names(self.edge_type_names, n_types, "edge_type_")
+
+    def get_node_type_names(self) -> Optional[np.ndarray]:
+        if self.node_type_ids is None:
+            return None
+        n_types = int(self.node_type_ids.max()) + 1 if len(self.node_type_ids) else 0
+        return _as_names(self.node_type_names, n_types, "node_type_")
+
+    @property
+    def number_of_node_types(self) -> int:
+        if self.node_type_ids is None or len(self.node_type_ids) == 0:
+            return 0
+        return int(self.node_type_ids.max()) + 1
+
+    @property
+    def number_of_edge_types(self) -> int:
+        if self.edge_types is None or len(self.edge_types) == 0:
+            return 0
+        return int(self.edge_types.max()) + 1
+
+    def has_multilabel_node_types(self) -> bool:
+        if self.node_type_ptr is None:
+            return False
+        return bool(np.any(np.diff(self.node_type_ptr) > 1))
+
+    def get_maximum_multilabel_count(self) -> int:
+        if self.node_type_ptr is None:
+            return 0
+        return int(np.max(np.diff(self.node_type_ptr), initial=0))
+
+    def get_one_hot_encoded_node_types(self) -> np.ndarray:
+        """[N, n_types] float32 multi-hot node-type matrix (reference:
+        `Graph.get_one_hot_encoded_node_types`)."""
+        n, t = self.number_of_nodes, self.number_of_node_types
+        out = np.zeros((n, t), dtype=np.float32)
+        if t == 0:
+            return out
+        rows = np.repeat(np.arange(n), np.diff(self.node_type_ptr))
+        out[rows, self.node_type_ids] = 1.0
+        return out
+
+    def get_single_label_node_type_ids(self) -> np.ndarray:
+        """[N] int32 first node-type id per node (-1 if unknown)."""
+        n = self.number_of_nodes
+        out = np.full(n, -1, dtype=np.int32)
+        if self.node_type_ptr is None:
+            return out
+        counts = np.diff(self.node_type_ptr)
+        has = counts > 0
+        out[has] = self.node_type_ids[self.node_type_ptr[:-1][has]]
+        return out
+
+    def get_known_node_types_mask(self) -> np.ndarray:
+        if self.node_type_ptr is None:
+            return np.zeros(self.number_of_nodes, dtype=bool)
+        return np.diff(self.node_type_ptr) > 0
+
+    def get_known_edge_types_mask(self) -> np.ndarray:
+        if self.edge_types is None:
+            return np.zeros(self.number_of_directed_edges, dtype=bool)
+        return self.edge_types >= 0
+
+    # ----------------------------------------------------------------- lookup
+    def neighbors(self, node: int) -> np.ndarray:
+        return self.col_idx[self.row_ptr[node]: self.row_ptr[node + 1]]
+
+    def has_edges(self, src: np.ndarray, dst: np.ndarray) -> np.ndarray:
+        """Vectorized membership test via per-row binary search."""
+        src = np.asarray(src)
+        dst = np.asarray(dst)
+        starts = self.row_ptr[src]
+        ends = self.row_ptr[src + 1]
+        # Searchsorted over the full col_idx using row offsets.
+        pos = np.empty(len(src), dtype=np.int64)
+        for i in range(len(src)):  # fallback loop replaced below for big arrays
+            pos[i] = np.searchsorted(self.col_idx[starts[i]:ends[i]], dst[i])
+        found = (starts + pos < ends) & (
+            self.col_idx[np.minimum(starts + pos, len(self.col_idx) - 1)] == dst
+        )
+        return found & (ends > starts)
+
+    def has_edges_fast(self, src: np.ndarray, dst: np.ndarray) -> np.ndarray:
+        """O((E+B) log) membership using sorted encoded arc keys."""
+        keys = self._sorted_arc_keys
+        q = src.astype(np.int64) * self.number_of_nodes + dst.astype(np.int64)
+        idx = np.searchsorted(keys, q)
+        idx = np.minimum(idx, len(keys) - 1) if len(keys) else idx
+        return (len(keys) > 0) & (keys[idx] == q)
+
+    @cached_property
+    def _sorted_arc_keys(self) -> np.ndarray:
+        return np.sort(
+            self.sources.astype(np.int64) * self.number_of_nodes
+            + self.col_idx.astype(np.int64)
+        )
+
+    def get_edge_ids(self, src: np.ndarray, dst: np.ndarray) -> np.ndarray:
+        """Arc index for (src, dst), -1 if absent."""
+        src = np.asarray(src)
+        dst = np.asarray(dst)
+        out = np.full(len(src), -1, dtype=np.int64)
+        starts = self.row_ptr[src]
+        ends = self.row_ptr[src + 1]
+        for i in range(len(src)):
+            j = np.searchsorted(self.col_idx[starts[i]:ends[i]], dst[i])
+            if starts[i] + j < ends[i] and self.col_idx[starts[i] + j] == dst[i]:
+                out[i] = starts[i] + j
+        return out
+
+    # ------------------------------------------------------------- transforms
+    def sort_by_decreasing_outbound_node_degree(self) -> "Graph":
+        """Relabel nodes so ids are ordered by decreasing out-degree — required
+        by NCE/sampled-softmax models whose log-uniform negative sampler assumes
+        a scale-free id ordering (reference
+        `embiggen/embedders/tensorflow_embedders/node2vec.py:204`,
+        `graph_embedding_pipeline.py:92`)."""
+        order = np.argsort(-self.degrees, kind="stable")
+        return self.relabel(order)
+
+    def is_sorted_by_decreasing_outbound_node_degree(self) -> bool:
+        d = self.degrees
+        return bool(np.all(d[:-1] >= d[1:]))
+
+    def relabel(self, order: np.ndarray) -> "Graph":
+        """Return graph with node i renamed to position of i in `order`."""
+        inverse = np.empty_like(order)
+        inverse[order] = np.arange(len(order))
+        new_src = inverse[self.sources]
+        new_dst = inverse[self.col_idx]
+        return Graph.from_edge_arrays(
+            new_src,
+            new_dst,
+            n_nodes=self.number_of_nodes,
+            weights=self.weights,
+            edge_types=self.edge_types,
+            directed=True,  # arcs already symmetrized if undirected
+            directed_flag=self.directed,
+            name=self.name,
+            # Materialize names even when auto-generated so node identity
+            # survives the relabelling.
+            node_names=self.get_node_names()[order],
+            node_type_ptr=(
+                None
+                if self.node_type_ptr is None
+                else np.concatenate(
+                    [[0], np.cumsum(np.diff(self.node_type_ptr)[order])]
+                ).astype(self.node_type_ptr.dtype)
+            ),
+            node_type_ids=(
+                None
+                if self.node_type_ids is None
+                else np.concatenate(
+                    [
+                        self.node_type_ids[
+                            self.node_type_ptr[o]: self.node_type_ptr[o + 1]
+                        ]
+                        for o in order
+                    ]
+                ).astype(self.node_type_ids.dtype)
+                if len(self.node_type_ids)
+                else self.node_type_ids
+            ),
+            node_type_names=self.node_type_names,
+            edge_type_names=self.edge_type_names,
+        )
+
+    def filter_edges(self, keep_mask: np.ndarray, name: Optional[str] = None) -> "Graph":
+        """Subgraph with the same node set and only arcs where keep_mask."""
+        return Graph.from_edge_arrays(
+            self.sources[keep_mask],
+            self.col_idx[keep_mask],
+            n_nodes=self.number_of_nodes,
+            weights=None if self.weights is None else self.weights[keep_mask],
+            edge_types=None if self.edge_types is None else self.edge_types[keep_mask],
+            directed=True,
+            directed_flag=self.directed,
+            name=name or self.name,
+            node_names=self.node_names,
+            node_type_ptr=self.node_type_ptr,
+            node_type_ids=self.node_type_ids,
+            node_type_names=self.node_type_names,
+            edge_type_names=self.edge_type_names,
+        )
+
+    def intersection(self, other: "Graph") -> "Graph":
+        """Edge-set intersection (reference `graph & subgraph`,
+        `abstract_classifier_model.py:2516-2535`). Node sets must match."""
+        mask = other.has_edges_fast(self.sources, self.col_idx)
+        return self.filter_edges(mask, name=f"{self.name}&{other.name}")
+
+    def __and__(self, other: "Graph") -> "Graph":
+        return self.intersection(other)
+
+    def difference(self, other: "Graph") -> "Graph":
+        mask = ~other.has_edges_fast(self.sources, self.col_idx)
+        return self.filter_edges(mask, name=f"{self.name}-{other.name}")
+
+    def remove_selfloops(self) -> "Graph":
+        return self.filter_edges(self.sources != self.col_idx)
+
+    def set_name(self, name: str) -> "Graph":
+        return dataclasses.replace(self, name=name)
+
+    def drop_weights(self) -> "Graph":
+        return dataclasses.replace(self, weights=None)
+
+    def remove_disconnected_nodes(self) -> "Graph":
+        keep = self.degrees > 0
+        # also keep nodes with inbound edges
+        inbound = np.zeros(self.number_of_nodes, dtype=bool)
+        inbound[self.col_idx] = True
+        keep = keep | inbound
+        order = np.nonzero(keep)[0]
+        remap = np.full(self.number_of_nodes, -1, dtype=np.int64)
+        remap[order] = np.arange(len(order))
+        return Graph.from_edge_arrays(
+            remap[self.sources],
+            remap[self.col_idx],
+            n_nodes=len(order),
+            weights=self.weights,
+            edge_types=self.edge_types,
+            directed=True,
+            directed_flag=self.directed,
+            name=self.name,
+            node_names=(
+                self.get_node_names()[order] if self.node_names is not None else None
+            ),
+        )
+
+    # ------------------------------------------------------------ construction
+    @staticmethod
+    def from_edge_arrays(
+        src: np.ndarray,
+        dst: np.ndarray,
+        n_nodes: Optional[int] = None,
+        weights: Optional[np.ndarray] = None,
+        edge_types: Optional[np.ndarray] = None,
+        directed: bool = False,
+        directed_flag: Optional[bool] = None,
+        name: str = "Graph",
+        node_names: Optional[Sequence[str]] = None,
+        node_type_ptr: Optional[np.ndarray] = None,
+        node_type_ids: Optional[np.ndarray] = None,
+        node_type_names: Optional[Sequence[str]] = None,
+        edge_type_names: Optional[Sequence[str]] = None,
+        deduplicate: bool = True,
+    ) -> "Graph":
+        """Build CSR from (src, dst[, weights, types]) arc arrays.
+
+        If directed=False, arcs are symmetrized. `directed_flag` overrides the
+        stored directedness flag (used internally when arcs are pre-symmetrized).
+        """
+        src = np.asarray(src, dtype=np.int64)
+        dst = np.asarray(dst, dtype=np.int64)
+        if n_nodes is None:
+            n_nodes = int(max(src.max(initial=-1), dst.max(initial=-1)) + 1)
+        if not directed:
+            non_loop = src != dst
+            src_all = np.concatenate([src, dst[non_loop]])
+            dst_all = np.concatenate([dst, src[non_loop]])
+            if weights is not None:
+                weights = np.concatenate([weights, weights[non_loop]])
+            if edge_types is not None:
+                edge_types = np.concatenate([edge_types, edge_types[non_loop]])
+            src, dst = src_all, dst_all
+        order = np.lexsort((dst, src))
+        src, dst = src[order], dst[order]
+        if weights is not None:
+            weights = np.asarray(weights, dtype=np.float32)[order]
+        if edge_types is not None:
+            edge_types = np.asarray(edge_types, dtype=np.int32)[order]
+        if deduplicate and len(src):
+            uniq = np.concatenate([[True], (src[1:] != src[:-1]) | (dst[1:] != dst[:-1])])
+            src, dst = src[uniq], dst[uniq]
+            if weights is not None:
+                weights = weights[uniq]
+            if edge_types is not None:
+                edge_types = edge_types[uniq]
+        counts = np.bincount(src, minlength=n_nodes)
+        row_ptr = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+        return Graph(
+            row_ptr=row_ptr,
+            col_idx=dst.astype(np.int32),
+            directed=directed if directed_flag is None else directed_flag,
+            name=name,
+            weights=weights,
+            edge_types=edge_types,
+            node_type_ptr=None if node_type_ptr is None else np.asarray(node_type_ptr),
+            node_type_ids=None if node_type_ids is None else np.asarray(node_type_ids),
+            node_names=None if node_names is None else np.asarray(node_names, dtype=object),
+            node_type_names=(
+                None if node_type_names is None
+                else np.asarray(node_type_names, dtype=object)
+            ),
+            edge_type_names=(
+                None if edge_type_names is None
+                else np.asarray(edge_type_names, dtype=object)
+            ),
+        )
+
+    # ----------------------------------------------------------------- device
+    def device(
+        self,
+        with_alias: bool = False,
+        with_weights: bool = True,
+        dtype=None,
+    ) -> DeviceGraph:
+        """Export as a DeviceGraph pytree of jnp arrays for on-device kernels."""
+        import jax.numpy as jnp
+
+        alias_prob = alias_idx = None
+        if with_alias and self.weights is not None:
+            prob, alias = build_alias_tables(self.row_ptr, self.weights)
+            alias_prob = jnp.asarray(prob)
+            alias_idx = jnp.asarray(alias)
+        return DeviceGraph(
+            row_ptr=jnp.asarray(self.row_ptr, dtype=jnp.int32),
+            col_idx=jnp.asarray(self.col_idx, dtype=jnp.int32),
+            degrees=jnp.asarray(self.degrees, dtype=jnp.int32),
+            weights=(
+                jnp.asarray(self.weights, dtype=dtype or jnp.float32)
+                if (with_weights and self.weights is not None)
+                else None
+            ),
+            edge_types=(
+                jnp.asarray(self.edge_types, dtype=jnp.int32)
+                if self.edge_types is not None
+                else None
+            ),
+            alias_prob=alias_prob,
+            alias_idx=alias_idx,
+            n_nodes=self.number_of_nodes,
+            n_arcs=self.number_of_directed_edges,
+        )
+
+    # -------------------------------------------------------------- reporting
+    def __repr__(self) -> str:
+        return (
+            f"Graph(name={self.name!r}, nodes={self.number_of_nodes}, "
+            f"arcs={self.number_of_directed_edges}, directed={self.directed}, "
+            f"weighted={self.has_edge_weights}, "
+            f"node_types={self.number_of_node_types}, "
+            f"edge_types={self.number_of_edge_types})"
+        )
+
+    def consistent_hash(self) -> str:
+        import hashlib
+
+        h = hashlib.sha256()
+        h.update(self.name.encode())
+        for arr in (self.row_ptr, self.col_idx, self.weights, self.edge_types):
+            if arr is not None:
+                h.update(np.ascontiguousarray(arr).tobytes())
+        return h.hexdigest()

@@ -1,0 +1,92 @@
+"""Host-side negative-graph sampling for evaluation — replaces the reference
+engine's `sample_negative_graph` (reference call site
+`embiggen/edge_prediction/edge_prediction_model.py:119-187`): sample
+non-existent edges, by default with **scale-free destination sampling**
+(degree-proportional), rejecting false negatives against the support graph.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+from .graph import Graph
+
+
+def sample_negative_graph(
+    graph: Graph,
+    number_of_negative_samples: int,
+    random_state: int = 42,
+    use_scale_free_distribution: bool = True,
+    support: Optional[Graph] = None,
+    max_rounds: int = 64,
+) -> Graph:
+    """Sample a graph of `number_of_negative_samples` (canonical) non-edges.
+
+    Sources uniform; destinations degree-proportional when
+    `use_scale_free_distribution` (the reference default, with a loud warning
+    otherwise — reference `edge_prediction_model.py:143-153`) so negative
+    difficulty matches the positive degree distribution.
+    """
+    support = support or graph
+    rng = np.random.default_rng(random_state)
+    n = graph.number_of_nodes
+    degrees = support.degrees.astype(np.float64)
+    total_deg = degrees.sum()
+    p = degrees / total_deg if total_deg > 0 else None
+
+    got_src: list = []
+    got_dst: list = []
+    needed = number_of_negative_samples
+    for _ in range(max_rounds):
+        if needed <= 0:
+            break
+        batch = max(1024, int(needed * 1.5))
+        if use_scale_free_distribution and p is not None:
+            src = rng.choice(n, size=batch, p=p)
+            dst = rng.choice(n, size=batch, p=p)
+        else:
+            src = rng.integers(0, n, size=batch)
+            dst = rng.integers(0, n, size=batch)
+        ok = src != dst
+        ok &= ~support.has_edges_fast(src, dst)
+        if not graph.directed:
+            ok &= ~support.has_edges_fast(dst, src)
+        src, dst = src[ok], dst[ok]
+        # dedupe within batch (canonical order for undirected)
+        if not graph.directed:
+            lo, hi = np.minimum(src, dst), np.maximum(src, dst)
+        else:
+            lo, hi = src, dst
+        key = lo.astype(np.int64) * n + hi
+        _, first = np.unique(key, return_index=True)
+        src, dst = lo[first], hi[first]
+        take = min(needed, len(src))
+        got_src.append(src[:take])
+        got_dst.append(dst[:take])
+        needed -= take
+    src = np.concatenate(got_src) if got_src else np.zeros(0, dtype=np.int64)
+    dst = np.concatenate(got_dst) if got_dst else np.zeros(0, dtype=np.int64)
+    return Graph.from_edge_arrays(
+        src,
+        dst,
+        n_nodes=n,
+        directed=graph.directed,
+        name=f"{graph.name}_negatives",
+        node_names=graph.node_names,
+    )
+
+
+def sample_positive_graph(
+    graph: Graph, number_of_samples: int, random_state: int = 42
+) -> Graph:
+    """Uniform subsample of existing canonical edges (reference
+    `sample_positive_graph`)."""
+    from .holdouts import _canonical_edges, _subgraph_from_canonical
+
+    src, dst, idx = _canonical_edges(graph)
+    rng = np.random.default_rng(random_state)
+    keep = np.zeros(len(src), dtype=bool)
+    sel = rng.choice(len(src), size=min(number_of_samples, len(src)), replace=False)
+    keep[sel] = True
+    return _subgraph_from_canonical(graph, keep, f"{graph.name}_pos_sample")

@@ -1,0 +1,247 @@
+"""Graph core: construction, queries, transforms, kernels, holdouts, sampling."""
+import numpy as np
+import pytest
+
+from embiggen_tpu.graph import (
+    Graph,
+    KERNELS,
+    all_edge_metrics,
+    barabasi_albert,
+    connected_holdout,
+    edge_label_holdout,
+    edge_metrics,
+    edge_prediction_kfold,
+    erdos_renyi,
+    karate_club,
+    kernel_coo,
+    node_label_holdout,
+    node_label_kfold,
+    random_holdout,
+    sample_negative_graph,
+    small_ppi,
+)
+
+
+def test_karate_basic(karate):
+    assert karate.number_of_nodes == 34
+    assert karate.number_of_edges == 78
+    assert karate.number_of_directed_edges == 156
+    assert not karate.directed
+    # degree of node 33 (the Officer) is 17
+    assert karate.degrees[33] == 17
+    assert karate.degrees.sum() == 156
+
+
+def test_ppi_loading(ppi):
+    assert ppi.number_of_nodes > 100
+    assert ppi.has_edge_weights
+    assert ppi.has_edge_types
+    assert ppi.number_of_edge_types >= 1
+    names = ppi.get_node_names()
+    assert names[0].startswith("ENSP")
+    ids = ppi.get_node_ids_from_names(names[:5])
+    assert list(ids) == [0, 1, 2, 3, 4]
+
+
+def test_has_edges(karate):
+    assert karate.has_edges_fast(np.array([0]), np.array([1]))[0]
+    assert karate.has_edges_fast(np.array([1]), np.array([0]))[0]  # symmetrized
+    assert not karate.has_edges_fast(np.array([0]), np.array([33]))[0]
+    np.testing.assert_array_equal(
+        karate.has_edges(np.array([0, 0]), np.array([1, 33])),
+        np.array([True, False]),
+    )
+
+
+def test_degree_sort(karate):
+    s = karate.sort_by_decreasing_outbound_node_degree()
+    assert s.is_sorted_by_decreasing_outbound_node_degree()
+    assert not karate.is_sorted_by_decreasing_outbound_node_degree()
+    assert s.number_of_directed_edges == karate.number_of_directed_edges
+    # degree multiset preserved
+    np.testing.assert_array_equal(
+        np.sort(s.degrees), np.sort(karate.degrees)
+    )
+    # node names follow the relabelling
+    hub_old = int(np.argmax(karate.degrees))
+    assert s.get_node_names()[0] == karate.get_node_names()[hub_old]
+
+
+def test_set_algebra(karate):
+    train, test = random_holdout(karate, train_size=0.7, random_state=3)
+    inter = karate & train
+    assert inter.number_of_directed_edges == train.number_of_directed_edges
+    diff = karate.difference(train)
+    assert (
+        diff.number_of_directed_edges + train.number_of_directed_edges
+        == karate.number_of_directed_edges
+    )
+
+
+def test_edge_ids(karate):
+    eid = karate.get_edge_ids(np.array([0, 0]), np.array([1, 33]))
+    assert eid[0] >= 0 and eid[1] == -1
+    assert karate.col_idx[eid[0]] == 1
+
+
+def test_kernels(karate, er_graph):
+    for kernel in KERNELS:
+        g = er_graph if "Weight" in kernel else karate
+        rows, cols, vals = kernel_coo(g, kernel)
+        assert len(rows) == g.number_of_directed_edges
+        assert not np.isnan(vals).any()
+    # Left-normalized rows sum to 1
+    rows, cols, vals = kernel_coo(karate, "Left Normalized Laplacian")
+    sums = np.zeros(karate.number_of_nodes)
+    np.add.at(sums, rows, vals)
+    np.testing.assert_allclose(sums, 1.0, rtol=1e-5)
+    # Symmetric normalization matches D^-1/2 A D^-1/2
+    rows, cols, vals = kernel_coo(karate, "Symmetric Normalized Laplacian")
+    d = karate.degrees.astype(float)
+    expected = 1.0 / np.sqrt(d[rows] * d[cols])
+    np.testing.assert_allclose(vals, expected, rtol=1e-5)
+    # typo'd reference spelling accepted
+    kernel_coo(karate, "Trasposed Left Normalized Laplacian")
+
+
+def test_connected_holdout_preserves_connectivity(karate):
+    train, test = connected_holdout(karate, train_size=0.8, random_state=0)
+    assert (
+        train.number_of_edges + test.number_of_edges == karate.number_of_edges
+    )
+    # train graph remains connected (karate is connected): BFS from 0
+    visited = np.zeros(train.number_of_nodes, dtype=bool)
+    stack = [0]
+    visited[0] = True
+    while stack:
+        v = stack.pop()
+        for u in train.neighbors(v):
+            if not visited[u]:
+                visited[u] = True
+                stack.append(int(u))
+    assert visited.all()
+
+
+def test_random_holdout_sizes(ppi):
+    train, test = random_holdout(ppi, train_size=0.75, random_state=1)
+    total = ppi.number_of_edges
+    assert abs(train.number_of_edges - 0.75 * total) <= 1
+    # disjoint edge sets
+    inter = train & test
+    assert inter.number_of_directed_edges == 0
+
+
+def test_kfold_partition(karate):
+    seen = 0
+    for fold in range(5):
+        train, test = edge_prediction_kfold(karate, 5, fold, random_state=2)
+        seen += test.number_of_edges
+        inter = train & test
+        assert inter.number_of_directed_edges == 0
+    assert seen == karate.number_of_edges
+
+
+def test_node_label_holdout(er_graph):
+    train, test = node_label_holdout(er_graph, train_size=0.8, random_state=0)
+    tr = train.get_known_node_types_mask()
+    te = test.get_known_node_types_mask()
+    assert not (tr & te).any()
+    assert (tr | te).sum() == er_graph.get_known_node_types_mask().sum()
+    # stratified: per-class proportions roughly preserved
+    for fold in range(3):
+        a, b = node_label_kfold(er_graph, 3, fold)
+        assert not (a.get_known_node_types_mask() & b.get_known_node_types_mask()).any()
+
+
+def test_edge_label_holdout(er_graph):
+    train, test = edge_label_holdout(er_graph, train_size=0.8, random_state=0)
+    tr = train.get_known_edge_types_mask()
+    te = test.get_known_edge_types_mask()
+    assert not (tr & te).any()
+    assert train.number_of_directed_edges == er_graph.number_of_directed_edges
+
+
+def test_negative_sampling(karate):
+    neg = sample_negative_graph(karate, 40, random_state=5)
+    assert neg.number_of_edges == 40
+    # none of the negative edges exist in the original
+    assert not karate.has_edges_fast(neg.sources, neg.col_idx).any()
+
+
+def test_negative_sampling_scale_free_bias(ppi):
+    neg_sf = sample_negative_graph(ppi, 500, random_state=5)
+    neg_uni = sample_negative_graph(
+        ppi, 500, random_state=5, use_scale_free_distribution=False
+    )
+    deg = ppi.degrees
+    mean_sf = deg[neg_sf.sources].mean() + deg[neg_sf.col_idx].mean()
+    mean_uni = deg[neg_uni.sources].mean() + deg[neg_uni.col_idx].mean()
+    assert mean_sf > mean_uni  # scale-free sampling hits higher-degree nodes
+
+
+def test_edge_metrics(karate):
+    m = edge_metrics(karate, np.array([0, 0]), np.array([1, 33]))
+    assert m.shape == (2, 4)
+    # nodes 0,1 share many neighbours; 0,33 share few relative to degree
+    assert m[0, 1] > m[1, 1]  # Jaccard
+    full = all_edge_metrics(karate)
+    assert full.shape == (karate.number_of_directed_edges, 4)
+    # preferential attachment of (0,1) = deg0*deg1
+    assert m[0, 3] == karate.degrees[0] * karate.degrees[1]
+
+
+def test_one_hot_node_types(er_graph):
+    oh = er_graph.get_one_hot_encoded_node_types()
+    assert oh.shape == (er_graph.number_of_nodes, er_graph.number_of_node_types)
+    assert (oh.sum(axis=1) == 1).all()
+
+
+def test_generators():
+    ba = barabasi_albert(500, 5, seed=1)
+    assert ba.number_of_nodes == 500
+    # scale-free: max degree much larger than median
+    assert ba.degrees.max() > 5 * np.median(ba.degrees)
+    er = erdos_renyi(100, 300, seed=2, weighted=True)
+    assert er.has_edge_weights
+
+
+def test_device_export(karate):
+    dg = karate.device()
+    assert dg.n_nodes == 34
+    assert int(dg.row_ptr[-1]) == karate.number_of_directed_edges
+    import jax
+
+    leaves = jax.tree_util.tree_leaves(dg)
+    assert len(leaves) >= 3
+
+
+def test_alias_tables(er_graph):
+    from embiggen_tpu.graph import build_alias_tables
+
+    prob, alias = build_alias_tables(er_graph.row_ptr, er_graph.weights)
+    assert prob.shape == er_graph.weights.shape
+    assert (prob >= 0).all() and (prob <= 1.0 + 1e-6).all()
+    # sampling from the alias table reproduces the weight distribution
+    rng = np.random.default_rng(0)
+    node = int(np.argmax(er_graph.degrees))
+    s, e = er_graph.row_ptr[node], er_graph.row_ptr[node + 1]
+    d = e - s
+    n_samp = 200_000
+    j = rng.integers(0, d, size=n_samp)
+    coin = rng.uniform(size=n_samp)
+    picked = np.where(coin < prob[s + j], j, alias[s + j])
+    counts = np.bincount(picked, minlength=d)
+    w = er_graph.weights[s:e].astype(np.float64)
+    np.testing.assert_allclose(counts / n_samp, w / w.sum(), atol=0.01)
+
+
+def test_relabel_preserves_node_types(er_graph):
+    s = er_graph.sort_by_decreasing_outbound_node_degree()
+    # type multiset preserved
+    np.testing.assert_array_equal(
+        np.sort(s.node_type_ids), np.sort(er_graph.node_type_ids)
+    )
+    oh_old = er_graph.get_one_hot_encoded_node_types()
+    oh_new = s.get_one_hot_encoded_node_types()
+    order = np.argsort(-er_graph.degrees, kind="stable")
+    np.testing.assert_array_equal(oh_new, oh_old[order])
