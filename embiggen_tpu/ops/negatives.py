@@ -1,0 +1,181 @@
+"""On-device minibatch and negative sampling — TPU-native replacement for the
+reference engine's `get_edge_prediction_mini_batch` (reference call site
+`embiggen/sequences/gcn_edge_prediction_training_sequence.py:174-250`),
+`get_siamese_mini_batch[_with_edge_types]` (`siamese_sequence.py:72-91`) and
+the TF log-uniform NCE negative sampler.
+
+Scale-free destination sampling is a single trick on-device: the destination
+of a uniformly random arc is exactly degree-distributed, so no alias table
+over the degree distribution is needed — one randint + one gather.
+False-negative avoidance uses the CSR binary search from `walks.py`.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..graph.graph import DeviceGraph
+from .walks import csr_has_edges
+
+
+def sample_nodes_scale_free(
+    dg: DeviceGraph, key: jnp.ndarray, shape
+) -> jnp.ndarray:
+    """Degree-proportional node sample: destination of a uniform random arc."""
+    arc = jax.random.randint(key, shape, 0, max(dg.n_arcs, 1))
+    return dg.col_idx[arc]
+
+
+def sample_nodes_uniform(dg: DeviceGraph, key: jnp.ndarray, shape) -> jnp.ndarray:
+    return jax.random.randint(key, shape, 0, dg.n_nodes, dtype=jnp.int32)
+
+
+def sample_positive_arcs(
+    dg: DeviceGraph, key: jnp.ndarray, batch_size: int
+) -> jnp.ndarray:
+    """[B] uniform arc indices."""
+    return jax.random.randint(key, (batch_size,), 0, max(dg.n_arcs, 1))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "batch_size", "negative_samples_rate", "use_scale_free_distribution",
+        "avoid_false_negatives", "n_attempts",
+    ),
+)
+def edge_prediction_mini_batch(
+    dg: DeviceGraph,
+    key: jnp.ndarray,
+    batch_size: int,
+    negative_samples_rate: float = 0.5,
+    use_scale_free_distribution: bool = True,
+    avoid_false_negatives: bool = True,
+    n_attempts: int = 4,
+    graph_to_avoid: Optional[DeviceGraph] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """(sources [B], destinations [B], labels [B] f32) with the first
+    (1 - rate) * B entries positive arcs and the rest corrupted negatives.
+
+    Negatives pair a scale-free (or uniform) source with a scale-free
+    destination; with `avoid_false_negatives` each colliding pair is
+    re-sampled up to n_attempts times (remaining collisions keep label 0 with
+    probability ~density, matching the reference's best-effort semantics).
+    """
+    n_neg = int(round(batch_size * negative_samples_rate))
+    n_pos = batch_size - n_neg
+    k_pos, k_neg = jax.random.split(key)
+
+    arc = sample_positive_arcs(dg, k_pos, n_pos)
+    # CSR row recovery: searchsorted over row_ptr gives the arc's source row.
+    pos_src = (
+        jnp.searchsorted(dg.row_ptr, arc, side="right").astype(jnp.int32) - 1
+    )
+    pos_dst = dg.col_idx[arc]
+
+    avoid = graph_to_avoid if graph_to_avoid is not None else dg
+
+    def sample_neg(k):
+        k_s, k_d = jax.random.split(k)
+        if use_scale_free_distribution:
+            src = sample_nodes_scale_free(dg, k_s, (n_neg,))
+            dst = sample_nodes_scale_free(dg, k_d, (n_neg,))
+        else:
+            src = sample_nodes_uniform(dg, k_s, (n_neg,))
+            dst = sample_nodes_uniform(dg, k_d, (n_neg,))
+        return src, dst
+
+    src, dst = sample_neg(k_neg)
+    if avoid_false_negatives:
+        for i in range(n_attempts):
+            bad = csr_has_edges(avoid.row_ptr, avoid.col_idx, src, dst) | (
+                src == dst
+            )
+            k_neg = jax.random.fold_in(k_neg, i)
+            new_src, new_dst = sample_neg(k_neg)
+            src = jnp.where(bad, new_src, src)
+            dst = jnp.where(bad, new_dst, dst)
+
+    sources = jnp.concatenate([pos_src, src]).astype(jnp.int32)
+    destinations = jnp.concatenate([pos_dst, dst]).astype(jnp.int32)
+    labels = jnp.concatenate(
+        [jnp.ones(n_pos, jnp.float32), jnp.zeros(n_neg, jnp.float32)]
+    )
+    return sources, destinations, labels
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("batch_size", "use_scale_free_distribution", "with_edge_types"),
+)
+def siamese_mini_batch(
+    dg: DeviceGraph,
+    key: jnp.ndarray,
+    batch_size: int,
+    use_scale_free_distribution: bool = True,
+    with_edge_types: bool = False,
+):
+    """(src, dst, corrupted_src, corrupted_dst[, edge_type]) uint32 vectors —
+    the reference's siamese/triple batch (`siamese_sequence.py:82-90`). One of
+    (src, dst) is corrupted per sample, chosen by coin flip, as in standard
+    KGE bernoulli-free corruption."""
+    k_arc, k_node, k_side = jax.random.split(key, 3)
+    arc = sample_positive_arcs(dg, k_arc, batch_size)
+    src = (
+        jnp.searchsorted(dg.row_ptr, arc, side="right").astype(jnp.int32) - 1
+    )
+    dst = dg.col_idx[arc]
+    if use_scale_free_distribution:
+        rand_node = sample_nodes_scale_free(dg, k_node, (batch_size,))
+    else:
+        rand_node = sample_nodes_uniform(dg, k_node, (batch_size,))
+    corrupt_src_side = jax.random.bernoulli(k_side, 0.5, (batch_size,))
+    corr_src = jnp.where(corrupt_src_side, rand_node, src)
+    corr_dst = jnp.where(corrupt_src_side, dst, rand_node)
+    out = (src, dst, corr_src.astype(jnp.int32), corr_dst.astype(jnp.int32))
+    if with_edge_types:
+        etype = (
+            dg.edge_types[arc]
+            if dg.edge_types is not None
+            else jnp.zeros(batch_size, jnp.int32)
+        )
+        out = out + (etype,)
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("n_negatives", "use_scale_free_distribution"))
+def negative_nodes_for_nce(
+    dg: DeviceGraph,
+    key: jnp.ndarray,
+    n_negatives: int,
+    use_scale_free_distribution: bool = True,
+) -> jnp.ndarray:
+    """[n_negatives] shared negative node sample for an NCE/sampled-softmax
+    step. Scale-free draw replaces TF's log-uniform sampler (which the
+    reference approximates by degree-sorting node ids —
+    `tensorflow_embedders/node2vec.py:204`); a degree-proportional draw is the
+    exact distribution the log-uniform trick approximates."""
+    if use_scale_free_distribution:
+        return sample_nodes_scale_free(dg, key, (n_negatives,))
+    return sample_nodes_uniform(dg, key, (n_negatives,))
+
+
+def edge_chunk(
+    dg: DeviceGraph, chunk_index: int, chunk_size: int
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Deterministic enumeration of arcs in fixed-size chunks for inference —
+    replaces `get_edge_prediction_chunk_mini_batch` (reference
+    `generic_sequences/edge_prediction_sequence.py:77-99`). The final chunk is
+    padded by clamping to the last arc; callers mask with `chunk_mask`."""
+    start = chunk_index * chunk_size
+    idx = jnp.clip(start + jnp.arange(chunk_size), 0, max(dg.n_arcs - 1, 0))
+    src = jnp.searchsorted(dg.row_ptr, idx, side="right").astype(jnp.int32) - 1
+    return src, dg.col_idx[idx]
+
+
+def chunk_mask(dg: DeviceGraph, chunk_index: int, chunk_size: int) -> jnp.ndarray:
+    start = chunk_index * chunk_size
+    return (start + jnp.arange(chunk_size)) < dg.n_arcs

@@ -1,0 +1,221 @@
+"""On-device random-walk generation — the TPU-native replacement of the
+reference engine's Rust walk kernel behind `graph.node2vec(...)` (reference
+call site `embiggen/sequences/node2vec_sequence.py:190-203`) and the walk
+hyper-parameter surface of
+`embiggen/embedders/tensorflow_embedders/abstract_random_walked_based_embedder_model.py:8-158`.
+
+Design (SURVEY.md §7 hard-part #1):
+- First-order steps are one gather each: uniform over the CSR row, or Walker
+  alias sampling for weighted graphs (alias tables precomputed host-side,
+  aligned with col_idx).
+- Second-order (p/q) bias is sampled exactly within a `max_neighbours`-capped
+  neighbourhood: the per-candidate weight vector (1/p if returning to the
+  previous node, 1 if the candidate neighbours the previous node — CSR binary
+  search — else 1/q, times the edge weight) is built for all candidates at
+  once and sampled by inverse CDF. The cap mirrors the reference's
+  approximate-walk mode for high-degree nodes and keeps shapes static.
+
+Everything is jit-compatible with static shapes: walks are [B, L] int32.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..graph.graph import DeviceGraph
+
+_BSEARCH_ITERS = 32  # covers rows up to 2^32 entries
+
+
+def csr_has_edges(
+    row_ptr: jnp.ndarray, col_idx: jnp.ndarray, src: jnp.ndarray, dst: jnp.ndarray
+) -> jnp.ndarray:
+    """Vectorized membership test: is (src[i], dst[i]) an arc? Lower-bound
+    binary search within each CSR row (rows are sorted)."""
+    n_arcs = col_idx.shape[0]
+    lo = row_ptr[src]
+    hi = row_ptr[src + 1]
+    end = hi
+
+    def body(_, state):
+        lo, hi = state
+        valid = lo < hi
+        mid = (lo + hi) // 2
+        v = col_idx[jnp.clip(mid, 0, max(n_arcs - 1, 0))]
+        go_right = valid & (v < dst)
+        lo = jnp.where(go_right, mid + 1, lo)
+        hi = jnp.where(valid & ~go_right, mid, hi)
+        return lo, hi
+
+    lo, hi = lax.fori_loop(0, _BSEARCH_ITERS, body, (lo, hi))
+    found = (lo < end) & (col_idx[jnp.clip(lo, 0, max(n_arcs - 1, 0))] == dst)
+    return found & (n_arcs > 0)
+
+
+def _uniform_offset(key: jnp.ndarray, deg: jnp.ndarray) -> jnp.ndarray:
+    """Uniform integer in [0, deg) per element (0 where deg == 0)."""
+    r = jax.random.uniform(key, deg.shape)
+    return jnp.minimum((r * deg).astype(jnp.int32), jnp.maximum(deg - 1, 0))
+
+
+def _sample_neighbor(
+    dg: DeviceGraph,
+    key: jnp.ndarray,
+    nodes: jnp.ndarray,
+    max_neighbours: Optional[int],
+) -> jnp.ndarray:
+    """One first-order neighbour sample per node. Uses alias tables when the
+    graph is weighted (dg.alias_prob present), else uniform. Nodes with zero
+    degree return themselves (walk traps, as in the reference engine)."""
+    deg = dg.degrees[nodes]
+    if max_neighbours is not None:
+        deg = jnp.minimum(deg, max_neighbours)
+    k_off, k_coin = jax.random.split(key)
+    off = _uniform_offset(k_off, deg)
+    base = dg.row_ptr[nodes]
+    if dg.alias_prob is not None:
+        coin = jax.random.uniform(k_coin, nodes.shape)
+        prob = dg.alias_prob[base + off]
+        alias = dg.alias_idx[base + off]
+        off = jnp.where(coin < prob, off, alias)
+        if max_neighbours is not None:
+            off = jnp.minimum(off, jnp.maximum(deg - 1, 0))
+    nxt = dg.col_idx[jnp.clip(base + off, 0, max(dg.n_arcs - 1, 0))]
+    return jnp.where(deg > 0, nxt, nodes)
+
+
+def _second_order_step(
+    dg: DeviceGraph,
+    key: jnp.ndarray,
+    prev: jnp.ndarray,
+    curr: jnp.ndarray,
+    return_weight: float,
+    explore_weight: float,
+    max_neighbours: int,
+) -> jnp.ndarray:
+    """One p/q-biased step, exact within the capped neighbourhood.
+    return_weight = 1/p, explore_weight = 1/q (the reference's
+    parameterization, `abstract_random_walked_based_embedder_model.py`)."""
+    b = curr.shape[0]
+    m = max_neighbours
+    deg = jnp.minimum(dg.degrees[curr], m)                       # [B]
+    base = dg.row_ptr[curr]                                      # [B]
+    offs = jax.lax.broadcasted_iota(jnp.int32, (b, m), 1)        # [B, M]
+    valid = offs < deg[:, None]
+    idx = jnp.clip(base[:, None] + jnp.minimum(offs, jnp.maximum(deg - 1, 0)[:, None]),
+                   0, max(dg.n_arcs - 1, 0))
+    cands = dg.col_idx[idx]                                      # [B, M]
+    is_return = cands == prev[:, None]
+    is_common = csr_has_edges(
+        dg.row_ptr, dg.col_idx,
+        jnp.broadcast_to(prev[:, None], (b, m)).reshape(-1),
+        cands.reshape(-1),
+    ).reshape(b, m)
+    w = jnp.where(
+        is_return, return_weight, jnp.where(is_common, 1.0, explore_weight)
+    )
+    if dg.weights is not None:
+        w = w * dg.weights[idx]
+    w = jnp.where(valid, w, 0.0)
+    cdf = jnp.cumsum(w, axis=1)
+    total = cdf[:, -1]
+    u = jax.random.uniform(key, (b,)) * total
+    pick = jnp.sum((cdf <= u[:, None]).astype(jnp.int32), axis=1)
+    pick = jnp.minimum(pick, jnp.maximum(deg - 1, 0))
+    nxt = jnp.take_along_axis(cands, pick[:, None], axis=1)[:, 0]
+    return jnp.where(deg > 0, nxt, curr)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "walk_length", "return_weight", "explore_weight", "max_neighbours",
+    ),
+)
+def random_walks(
+    dg: DeviceGraph,
+    start_nodes: jnp.ndarray,
+    walk_length: int,
+    key: jnp.ndarray,
+    return_weight: float = 1.0,
+    explore_weight: float = 1.0,
+    max_neighbours: Optional[int] = None,
+) -> jnp.ndarray:
+    """[B, walk_length] walks starting at start_nodes. First-order when
+    return_weight == explore_weight == 1.0, else p/q-biased second-order
+    (second-order implies a neighbourhood cap; defaults to the reference's
+    max_neighbours=100)."""
+    first_order = return_weight == 1.0 and explore_weight == 1.0
+    cap = max_neighbours if max_neighbours is not None else 100
+
+    def step(carry, k):
+        prev, curr = carry
+        if first_order:
+            nxt = _sample_neighbor(dg, k, curr, max_neighbours)
+        else:
+            nxt = _second_order_step(
+                dg, k, prev, curr, return_weight, explore_weight, cap
+            )
+        return (curr, nxt), nxt
+
+    keys = jax.random.split(key, walk_length - 1)
+    k0 = jax.random.fold_in(key, 0x5EED)
+    # First step is first-order (no previous node yet).
+    second = _sample_neighbor(dg, k0, start_nodes, max_neighbours)
+    if walk_length == 1:
+        return start_nodes[:, None]
+    if walk_length == 2:
+        return jnp.stack([start_nodes, second], axis=1)
+    (_, _), rest = lax.scan(step, (start_nodes, second), keys[: walk_length - 2])
+    return jnp.concatenate(
+        [start_nodes[:, None], second[:, None], rest.T], axis=1
+    ).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("window_size",))
+def skipgram_pairs(
+    walks: jnp.ndarray, window_size: int
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Extract (contexts, words) skipgram training pairs from walks, matching
+    the reference batch layout: contexts [N, 2w], words [N] with
+    N = B * (L - 2w) (reference `node2vec_sequence.py:115-138`)."""
+    b, length = walks.shape
+    w = window_size
+    n_centers = length - 2 * w
+    # centers: positions w .. L-w-1
+    words = lax.dynamic_slice(walks, (0, w), (b, n_centers)).reshape(-1)
+    ctx_cols = []
+    for off in range(-w, w + 1):
+        if off == 0:
+            continue
+        ctx_cols.append(
+            lax.dynamic_slice(walks, (0, w + off), (b, n_centers))
+        )
+    contexts = jnp.stack(ctx_cols, axis=-1).reshape(-1, 2 * w)
+    return contexts, words
+
+
+def node2vec_batch(
+    dg: DeviceGraph,
+    start_nodes: jnp.ndarray,
+    walk_length: int,
+    window_size: int,
+    key: jnp.ndarray,
+    iterations: int = 1,
+    return_weight: float = 1.0,
+    explore_weight: float = 1.0,
+    max_neighbours: Optional[int] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Full `graph.node2vec` equivalent: walks + window extraction, with
+    `iterations` repeated walks per start node."""
+    starts = jnp.tile(start_nodes, iterations)
+    walks = random_walks(
+        dg, starts, walk_length, key,
+        return_weight=return_weight, explore_weight=explore_weight,
+        max_neighbours=max_neighbours,
+    )
+    return skipgram_pairs(walks, window_size)

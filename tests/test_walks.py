@@ -1,0 +1,212 @@
+"""On-device walk + sampling kernels: correctness and distributional checks."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from embiggen_tpu.graph import erdos_renyi, karate_club
+from embiggen_tpu.ops.walks import (
+    csr_has_edges,
+    node2vec_batch,
+    random_walks,
+    skipgram_pairs,
+)
+from embiggen_tpu.ops.negatives import (
+    chunk_mask,
+    edge_chunk,
+    edge_prediction_mini_batch,
+    negative_nodes_for_nce,
+    siamese_mini_batch,
+)
+
+
+@pytest.fixture(scope="module")
+def kdev():
+    return karate_club().device()
+
+
+@pytest.fixture(scope="module")
+def kgraph():
+    return karate_club()
+
+
+def _walks_follow_edges(graph, walks):
+    walks = np.asarray(walks)
+    for row in walks:
+        for a, b in zip(row[:-1], row[1:]):
+            if a == b:  # trap (zero-degree) is allowed
+                continue
+            assert graph.has_edges_fast(np.array([a]), np.array([b]))[0], (a, b)
+
+
+def test_csr_has_edges(kdev, kgraph):
+    src = jnp.array([0, 0, 33, 5, 5])
+    dst = jnp.array([1, 33, 32, 16, 25])
+    expected = kgraph.has_edges_fast(np.asarray(src), np.asarray(dst))
+    np.testing.assert_array_equal(
+        np.asarray(csr_has_edges(kdev.row_ptr, kdev.col_idx, src, dst)), expected
+    )
+
+
+def test_first_order_walks_valid(kdev, kgraph):
+    key = jax.random.PRNGKey(0)
+    starts = jnp.arange(34)
+    walks = random_walks(kdev, starts, 20, key)
+    assert walks.shape == (34, 20)
+    np.testing.assert_array_equal(np.asarray(walks[:, 0]), np.arange(34))
+    _walks_follow_edges(kgraph, walks)
+
+
+def test_first_order_uniform_distribution(kdev, kgraph):
+    # From node 0 (degree 16), the first step should be ~uniform over nbrs.
+    key = jax.random.PRNGKey(1)
+    starts = jnp.zeros(20000, dtype=jnp.int32)
+    walks = random_walks(kdev, starts, 2, key)
+    step = np.asarray(walks[:, 1])
+    nbrs = kgraph.neighbors(0)
+    counts = np.bincount(step, minlength=34)[nbrs]
+    freq = counts / counts.sum()
+    np.testing.assert_allclose(freq, 1 / len(nbrs), atol=0.01)
+
+
+def test_second_order_return_bias(kdev):
+    # Huge return weight => walk oscillates back: walk[t+2] == walk[t] often.
+    key = jax.random.PRNGKey(2)
+    starts = jnp.arange(34)
+    walks = np.asarray(
+        random_walks(kdev, starts, 12, key, return_weight=100.0, explore_weight=1.0)
+    )
+    returns = (walks[:, 2:] == walks[:, :-2]).mean()
+    walks_uniform = np.asarray(random_walks(kdev, starts, 12, key))
+    returns_uniform = (walks_uniform[:, 2:] == walks_uniform[:, :-2]).mean()
+    assert returns > 0.8
+    assert returns > returns_uniform + 0.2
+
+
+def test_second_order_explore_bias(kdev, kgraph):
+    # explore_weight >> 1 favours nodes NOT adjacent to the previous node.
+    key = jax.random.PRNGKey(3)
+    starts = jnp.arange(34)
+
+    def frac_exploring(rw, ew):
+        walks = np.asarray(
+            random_walks(kdev, starts, 16, key, return_weight=rw, explore_weight=ew)
+        )
+        explore = 0
+        total = 0
+        for row in walks:
+            for t in range(2, len(row)):
+                prev, curr = row[t - 2], row[t]
+                if curr == prev:
+                    continue
+                total += 1
+                if not kgraph.has_edges_fast(
+                    np.array([prev]), np.array([curr])
+                )[0]:
+                    explore += 1
+        return explore / max(total, 1)
+
+    assert frac_exploring(1.0, 50.0) > frac_exploring(1.0, 0.02) + 0.15
+
+
+def test_weighted_walks_use_alias(kgraph):
+    # Graph with extreme weight on one edge: walks should mostly take it.
+    import numpy as np
+
+    from embiggen_tpu.graph import Graph
+
+    src = np.array([0, 0, 0])
+    dst = np.array([1, 2, 3])
+    w = np.array([1000.0, 1.0, 1.0], dtype=np.float32)
+    g = Graph.from_edge_arrays(src, dst, n_nodes=4, weights=w, directed=False)
+    dev = g.device(with_alias=True)
+    key = jax.random.PRNGKey(4)
+    starts = jnp.zeros(5000, dtype=jnp.int32)
+    walks = np.asarray(random_walks(dev, starts, 2, key))
+    frac_heavy = (walks[:, 1] == 1).mean()
+    assert frac_heavy > 0.95
+
+
+def test_max_neighbours_cap(kdev):
+    # With cap=1 every step goes to the first (lowest-id) neighbour.
+    key = jax.random.PRNGKey(5)
+    starts = jnp.arange(34)
+    walks = np.asarray(random_walks(kdev, starts, 3, key, max_neighbours=1))
+    g = karate_club()
+    for v in range(34):
+        first_nbr = g.neighbors(v)[0]
+        assert walks[v, 1] == first_nbr
+
+
+def test_skipgram_pairs_layout():
+    walks = jnp.arange(24).reshape(2, 12)
+    contexts, words = skipgram_pairs(walks, window_size=2)
+    n = 2 * (12 - 4)
+    assert words.shape == (n,)
+    assert contexts.shape == (n, 4)
+    # first center of first walk is position 2 → value 2, context 0,1,3,4
+    assert int(words[0]) == 2
+    np.testing.assert_array_equal(np.asarray(contexts[0]), [0, 1, 3, 4])
+
+
+def test_node2vec_batch(kdev):
+    key = jax.random.PRNGKey(6)
+    contexts, words = node2vec_batch(
+        kdev, jnp.arange(34), walk_length=16, window_size=4, key=key, iterations=2
+    )
+    n = 34 * 2 * (16 - 8)
+    assert words.shape == (n,)
+    assert contexts.shape == (n, 8)
+
+
+def test_edge_prediction_mini_batch(kdev, kgraph):
+    key = jax.random.PRNGKey(7)
+    src, dst, labels = edge_prediction_mini_batch(kdev, key, 512)
+    assert src.shape == dst.shape == labels.shape == (512,)
+    pos = np.asarray(labels) == 1
+    assert pos.sum() == 256
+    # positives are real edges
+    assert kgraph.has_edges_fast(np.asarray(src)[pos], np.asarray(dst)[pos]).all()
+    # negatives are (mostly) non-edges — false-negative filter keeps rate tiny
+    neg = ~pos
+    fn_rate = kgraph.has_edges_fast(np.asarray(src)[neg], np.asarray(dst)[neg]).mean()
+    assert fn_rate < 0.05
+
+
+def test_negative_scale_free_bias(kdev, kgraph):
+    key = jax.random.PRNGKey(8)
+    sf = np.asarray(negative_nodes_for_nce(kdev, key, 20000))
+    uni = np.asarray(
+        negative_nodes_for_nce(kdev, key, 20000, use_scale_free_distribution=False)
+    )
+    deg = kgraph.degrees
+    assert deg[sf].mean() > deg[uni].mean() + 1.0
+    # scale-free matches degree distribution
+    counts = np.bincount(sf, minlength=34)
+    np.testing.assert_allclose(
+        counts / counts.sum(), deg / deg.sum(), atol=0.01
+    )
+
+
+def test_siamese_mini_batch(kdev, kgraph):
+    key = jax.random.PRNGKey(9)
+    src, dst, csrc, cdst = siamese_mini_batch(kdev, key, 256)
+    assert kgraph.has_edges_fast(np.asarray(src), np.asarray(dst)).all()
+    # exactly one side corrupted per sample
+    side_src = np.asarray(csrc) != np.asarray(src)
+    side_dst = np.asarray(cdst) != np.asarray(dst)
+    assert not (side_src & side_dst).any()
+    out = siamese_mini_batch(kdev, key, 64, with_edge_types=True)
+    assert len(out) == 5
+
+
+def test_edge_chunk(kdev, kgraph):
+    src0, dst0 = edge_chunk(kdev, 0, 100)
+    m = np.asarray(chunk_mask(kdev, 0, 100))
+    assert m.all()
+    assert kgraph.has_edges_fast(np.asarray(src0), np.asarray(dst0)).all()
+    # consistent with CSR ordering
+    np.testing.assert_array_equal(np.asarray(dst0), kgraph.col_idx[:100])
+    last_chunk = kdev.n_arcs // 100
+    m_last = np.asarray(chunk_mask(kdev, last_chunk, 100))
+    assert m_last.sum() == kdev.n_arcs % 100
