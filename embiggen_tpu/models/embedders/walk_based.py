@@ -1,0 +1,358 @@
+"""Walk-based embedders: SkipGram / CBOW / GloVe over node2vec walks, plus the
+DeepWalk / Node2Vec / Walklets presets — the TPU-native counterpart of both the
+reference's TF embedders (`embiggen/embedders/tensorflow_embedders/{skipgram,
+cbow,node2vec}.py`) and the Rust whole-training models
+(`ensmallen_embedders/node2vec.py:16-112`).
+
+Architecture (BASELINE.json north star): walks, window extraction, negative
+sampling, loss and the sparse SGD update all run inside ONE jitted step; an
+epoch is a `lax.scan` over steps with the embedding tables donated, so the
+entire training loop lives on-device with zero host round-trips per step.
+Gradients are taken w.r.t. *gathered* rows only and scatter-added back —
+embedding-table-sparse SGD, never densified.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from ...graph.graph import DeviceGraph, Graph
+from ...ops import losses as L
+from ...ops.negatives import negative_nodes_for_nce
+from ...ops.walks import node2vec_batch, random_walks, skipgram_pairs
+from ..abstract import AbstractEmbeddingModel
+from ..embedding_result import EmbeddingResult
+from ..registry import register_model
+
+
+class WalkBasedEmbedder(AbstractEmbeddingModel):
+    """Shared training skeleton for walk-based embedders.
+
+    Walk hyper-parameters mirror the reference surface
+    (`abstract_random_walked_based_embedder_model.py:8-158`): window_size,
+    walk_length, iterations, return_weight (1/p), explore_weight (1/q),
+    max_neighbours; SGD hyper-parameters mirror the Rust trainers
+    (`ensmallen_embedders/node2vec_skipgram.py:14-36`): epochs, learning_rate
+    with multiplicative decay, number_of_negative_samples, scale-free negative
+    distribution."""
+
+    def __init__(
+        self,
+        embedding_size: int = 100,
+        epochs: int = 10,
+        batch_size: int = 128,
+        walk_length: int = 64,
+        iterations: int = 1,
+        window_size: int = 5,
+        return_weight: float = 1.0,
+        explore_weight: float = 1.0,
+        max_neighbours: Optional[int] = 100,
+        learning_rate: float = 0.05,
+        learning_rate_decay: float = 0.9,
+        number_of_negative_samples: int = 10,
+        use_scale_free_distribution: bool = True,
+        random_state: int = 42,
+        enable_cache: bool = False,
+    ):
+        self._epochs = epochs
+        self._batch_size = batch_size
+        self._walk_length = walk_length
+        self._iterations = iterations
+        self._window_size = window_size
+        self._return_weight = return_weight
+        self._explore_weight = explore_weight
+        self._max_neighbours = max_neighbours
+        self._learning_rate = learning_rate
+        self._learning_rate_decay = learning_rate_decay
+        self._number_of_negative_samples = number_of_negative_samples
+        self._use_scale_free_distribution = use_scale_free_distribution
+        super().__init__(
+            embedding_size=embedding_size,
+            enable_cache=enable_cache,
+            random_state=random_state,
+        )
+        if walk_length <= 2 * window_size:
+            raise ValueError(
+                f"walk_length ({walk_length}) must exceed 2*window_size "
+                f"({2 * window_size})."
+            )
+
+    def parameters(self) -> Dict[str, Any]:
+        return {
+            **super().parameters(),
+            "epochs": self._epochs,
+            "batch_size": self._batch_size,
+            "walk_length": self._walk_length,
+            "iterations": self._iterations,
+            "window_size": self._window_size,
+            "return_weight": self._return_weight,
+            "explore_weight": self._explore_weight,
+            "max_neighbours": self._max_neighbours,
+            "learning_rate": self._learning_rate,
+            "learning_rate_decay": self._learning_rate_decay,
+            "number_of_negative_samples": self._number_of_negative_samples,
+            "use_scale_free_distribution": self._use_scale_free_distribution,
+        }
+
+    @classmethod
+    def smoke_test_parameters(cls) -> Dict[str, Any]:
+        return {
+            "embedding_size": 5,
+            "epochs": 1,
+            "walk_length": 8,
+            "window_size": 2,
+            "batch_size": 32,
+            "iterations": 1,
+        }
+
+    @classmethod
+    def can_use_edge_weights(cls) -> bool:
+        return True
+
+    def is_using_edge_weights(self) -> bool:
+        return True
+
+    # ------------------------------------------------------- subclass surface
+    def _init_params(self, graph: Graph, key: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+        raise NotImplementedError
+
+    def _step(
+        self,
+        dg: DeviceGraph,
+        params: Dict[str, jnp.ndarray],
+        key: jnp.ndarray,
+        lr: jnp.ndarray,
+    ) -> Tuple[Dict[str, jnp.ndarray], jnp.ndarray]:
+        raise NotImplementedError
+
+    def _extract(
+        self, params: Dict[str, jnp.ndarray], graph: Graph
+    ) -> EmbeddingResult:
+        raise NotImplementedError
+
+    # ----------------------------------------------------------- training loop
+    def _sample_pairs(
+        self, dg: DeviceGraph, key: jnp.ndarray
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """(contexts [N, 2w], words [N]) for one step: random start nodes →
+        walks → windows, all on device."""
+        k_start, k_walk = jax.random.split(key)
+        starts = jax.random.randint(
+            k_start, (self._batch_size,), 0, dg.n_nodes, dtype=jnp.int32
+        )
+        return node2vec_batch(
+            dg,
+            starts,
+            walk_length=self._walk_length,
+            window_size=self._window_size,
+            key=k_walk,
+            iterations=self._iterations,
+            return_weight=self._return_weight,
+            explore_weight=self._explore_weight,
+            max_neighbours=self._max_neighbours,
+        )
+
+    def _fit_transform(self, graph: Graph) -> EmbeddingResult:
+        dg = graph.device(with_alias=graph.has_edge_weights)
+        key = jax.random.PRNGKey(self.random_state or 0)
+        params = self._init_params(graph, key)
+        steps_per_epoch = max(1, graph.number_of_nodes // self._batch_size)
+
+        step_fn = functools.partial(self._step, dg)
+
+        @functools.partial(jax.jit, donate_argnums=0)
+        def epoch_fn(params, epoch_key, lr):
+            keys = jax.random.split(epoch_key, steps_per_epoch)
+
+            def body(p, k):
+                return step_fn(p, k, lr)
+
+            params, losses = lax.scan(body, params, keys)
+            return params, losses.mean()
+
+        last_loss = None
+        for epoch in range(self._epochs):
+            lr = jnp.float32(
+                self._learning_rate * self._learning_rate_decay ** epoch
+            )
+            params, last_loss = epoch_fn(params, jax.random.fold_in(key, epoch), lr)
+        self._last_loss = None if last_loss is None else float(last_loss)
+        return self._extract(params, graph)
+
+
+@register_model
+class SkipGram(WalkBasedEmbedder):
+    """Node2Vec SkipGram with NCE loss over shared scale-free negatives —
+    capability match for reference `SkipGramTensorFlow`
+    (`tensorflow_embedders/skipgram.py:13-61`, NCE positive_samples = 2·window)
+    and `Node2VecSkipGramEnsmallen`."""
+
+    @classmethod
+    def model_name(cls) -> str:
+        return "Node2Vec SkipGram"
+
+    def _init_params(self, graph: Graph, key: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+        n, d = graph.number_of_nodes, self.embedding_size
+        k1, k2 = jax.random.split(key)
+        scale = 1.0 / np.sqrt(d)
+        return {
+            "node_embedding": scale * jax.random.normal(k1, (n, d), jnp.float32),
+            "context_embedding": scale * jax.random.normal(k2, (n, d), jnp.float32),
+            "context_bias": jnp.zeros((n,), jnp.float32),
+        }
+
+    def _step(self, dg, params, key, lr):
+        k_pairs, k_neg = jax.random.split(key)
+        contexts, words = self._sample_pairs(dg, k_pairs)
+        negs = negative_nodes_for_nce(
+            dg, k_neg, self._number_of_negative_samples,
+            self._use_scale_free_distribution,
+        )
+
+        def loss_fn(w_emb, ctx_emb, pos_b, neg_emb, neg_b):
+            return L.nce_loss(w_emb, ctx_emb, pos_b, neg_emb, neg_b)
+
+        w_emb = params["node_embedding"][words]
+        ctx_emb = params["context_embedding"][contexts]
+        pos_b = params["context_bias"][contexts]
+        neg_emb = params["context_embedding"][negs]
+        neg_b = params["context_bias"][negs]
+        loss, grads = jax.value_and_grad(loss_fn, argnums=(0, 1, 2, 3, 4))(
+            w_emb, ctx_emb, pos_b, neg_emb, neg_b
+        )
+        g_w, g_ctx, g_pb, g_neg, g_nb = grads
+        d = self.embedding_size
+        params["node_embedding"] = params["node_embedding"].at[words].add(-lr * g_w)
+        params["context_embedding"] = (
+            params["context_embedding"]
+            .at[contexts.reshape(-1)]
+            .add(-lr * g_ctx.reshape(-1, d))
+            .at[negs]
+            .add(-lr * g_neg)
+        )
+        params["context_bias"] = (
+            params["context_bias"]
+            .at[contexts.reshape(-1)]
+            .add(-lr * g_pb.reshape(-1))
+            .at[negs]
+            .add(-lr * g_nb)
+        )
+        return params, loss
+
+    def _extract(self, params, graph):
+        return EmbeddingResult(
+            embedding_method_name=self.model_name(),
+            node_embeddings=[
+                params["node_embedding"],
+                params["context_embedding"],
+            ],
+            node_names=graph.get_node_names(),
+        )
+
+
+@register_model
+class CBOW(WalkBasedEmbedder):
+    """Node2Vec CBOW: mean context embedding predicts the centre word via
+    sampled softmax — reference `CBOWTensorFlow`
+    (`tensorflow_embedders/cbow.py:13-61`). Embedding order in the result is
+    (contextual, central) reversed vs SkipGram, matching the reference quirk
+    (`ensmallen_embedders/node2vec.py:101-102`)."""
+
+    @classmethod
+    def model_name(cls) -> str:
+        return "Node2Vec CBOW"
+
+    def _init_params(self, graph: Graph, key: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+        n, d = graph.number_of_nodes, self.embedding_size
+        k1, k2 = jax.random.split(key)
+        scale = 1.0 / np.sqrt(d)
+        return {
+            "node_embedding": scale * jax.random.normal(k1, (n, d), jnp.float32),
+            "output_embedding": scale * jax.random.normal(k2, (n, d), jnp.float32),
+            "output_bias": jnp.zeros((n,), jnp.float32),
+        }
+
+    def _step(self, dg, params, key, lr):
+        k_pairs, k_neg = jax.random.split(key)
+        contexts, words = self._sample_pairs(dg, k_pairs)
+        negs = negative_nodes_for_nce(
+            dg, k_neg, self._number_of_negative_samples,
+            self._use_scale_free_distribution,
+        )
+
+        def loss_fn(ctx_emb, true_emb, true_b, neg_emb, neg_b):
+            hidden = ctx_emb.mean(axis=1)
+            return L.sampled_softmax_loss(hidden, true_emb, true_b, neg_emb, neg_b)
+
+        ctx_emb = params["node_embedding"][contexts]
+        true_emb = params["output_embedding"][words]
+        true_b = params["output_bias"][words]
+        neg_emb = params["output_embedding"][negs]
+        neg_b = params["output_bias"][negs]
+        loss, grads = jax.value_and_grad(loss_fn, argnums=(0, 1, 2, 3, 4))(
+            ctx_emb, true_emb, true_b, neg_emb, neg_b
+        )
+        g_ctx, g_true, g_tb, g_neg, g_nb = grads
+        d = self.embedding_size
+        params["node_embedding"] = (
+            params["node_embedding"]
+            .at[contexts.reshape(-1)]
+            .add(-lr * g_ctx.reshape(-1, d))
+        )
+        params["output_embedding"] = (
+            params["output_embedding"].at[words].add(-lr * g_true)
+            .at[negs].add(-lr * g_neg)
+        )
+        params["output_bias"] = (
+            params["output_bias"].at[words].add(-lr * g_tb).at[negs].add(-lr * g_nb)
+        )
+        return params, loss
+
+    def _extract(self, params, graph):
+        return EmbeddingResult(
+            embedding_method_name=self.model_name(),
+            node_embeddings=[
+                params["node_embedding"],
+                params["output_embedding"],
+            ],
+            node_names=graph.get_node_names(),
+        )
+
+
+class _FixedPQMixin:
+    """DeepWalk presets: p = q = 1 (uniform first-order walks), reference
+    `DeepWalk*Ensmallen` classes."""
+
+    def __init__(self, **kwargs):
+        for forbidden in ("return_weight", "explore_weight"):
+            if forbidden in kwargs:
+                raise ValueError(
+                    f"{type(self).__name__} does not accept {forbidden!r}: "
+                    "DeepWalk walks are first-order (p = q = 1)."
+                )
+        super().__init__(return_weight=1.0, explore_weight=1.0, **kwargs)
+
+    def parameters(self):
+        params = super().parameters()
+        params.pop("return_weight", None)
+        params.pop("explore_weight", None)
+        return params
+
+
+@register_model
+class DeepWalkSkipGram(_FixedPQMixin, SkipGram):
+    @classmethod
+    def model_name(cls) -> str:
+        return "DeepWalk SkipGram"
+
+
+@register_model
+class DeepWalkCBOW(_FixedPQMixin, CBOW):
+    @classmethod
+    def model_name(cls) -> str:
+        return "DeepWalk CBOW"
