@@ -1,0 +1,148 @@
+"""Edge-embedding operators: combine source/destination node embeddings into
+edge features. Mirrors the reference's `EdgeTransformer.methods` table
+(`embiggen/embedding_transformers/edge_transformer.py:348-364`, functions
+`:12-344`) plus the GCN edge-combination set
+(`embiggen/utils/abstract_edge_gcn.py:356-370`).
+
+All operators are pure jnp (differentiable, jit/vmap-safe); they work equally
+on host numpy arrays via jnp's array coercion.
+"""
+from __future__ import annotations
+
+from typing import Callable, Dict, List, Union
+
+import jax.numpy as jnp
+
+EPS = 1e-6
+
+
+def hadamard(src, dst):
+    return src * dst
+
+
+def sum_op(src, dst):
+    return src + dst
+
+
+def average(src, dst):
+    return (src + dst) / 2.0
+
+
+def l1(src, dst):
+    """Signed difference (the reference's 'L1')."""
+    return src - dst
+
+
+def absolute_l1(src, dst):
+    return jnp.abs(src - dst)
+
+
+def squared_l2(src, dst):
+    return (src - dst) ** 2
+
+
+def l2(src, dst):
+    """Element-wise sqrt of squared difference = |src - dst| (reference 'L2')."""
+    return jnp.sqrt((src - dst) ** 2)
+
+
+def concatenate(src, dst):
+    return jnp.concatenate([src, dst], axis=-1)
+
+
+def minimum(src, dst):
+    return jnp.minimum(src, dst)
+
+
+def maximum(src, dst):
+    return jnp.maximum(src, dst)
+
+
+def l2_distance(src, dst):
+    return jnp.sqrt(jnp.sum((src - dst) ** 2, axis=-1, keepdims=True))
+
+
+def cosine_similarity(src, dst):
+    num = jnp.sum(src * dst, axis=-1, keepdims=True)
+    norm = jnp.sqrt(
+        jnp.sum(src ** 2, axis=-1, keepdims=True)
+        * jnp.sum(dst ** 2, axis=-1, keepdims=True)
+    )
+    return num / jnp.maximum(norm, EPS)
+
+
+def subtract(src, dst):
+    return src - dst
+
+
+def dot(src, dst):
+    return jnp.sum(src * dst, axis=-1, keepdims=True)
+
+
+# Reference EdgeTransformer method table (edge_transformer.py:348-364).
+EDGE_TRANSFORMER_METHODS: Dict[str, Callable] = {
+    "Hadamard": hadamard,
+    "Sum": sum_op,
+    "Average": average,
+    "L1": l1,
+    "AbsoluteL1": absolute_l1,
+    "SquaredL2": squared_l2,
+    "L2": l2,
+    "Concatenate": concatenate,
+    "Min": minimum,
+    "Max": maximum,
+    "L2Distance": l2_distance,
+    "CosineSimilarity": cosine_similarity,
+}
+
+# Reference edge-GCN combination set (abstract_edge_gcn.py:356-370).
+EDGE_GCN_METHODS: Dict[str, Callable] = {
+    "Concatenate": concatenate,
+    "Average": average,
+    "Hadamard": hadamard,
+    "Maximum": maximum,
+    "Minimum": minimum,
+    "Add": sum_op,
+    "Subtract": subtract,
+    "L1": absolute_l1,
+    "L2": squared_l2,
+    "Dot": dot,
+}
+
+# Reference perceptron edge-embedding set
+# (edge_prediction_ensmallen/perceptron.py:15-117).
+PERCEPTRON_EDGE_METHODS: Dict[str, Callable] = {
+    "CosineSimilarity": cosine_similarity,
+    "EuclideanDistance": l2_distance,
+    "Concatenate": concatenate,
+    "Hadamard": hadamard,
+    "L1": absolute_l1,
+    "L2": squared_l2,
+    "Add": sum_op,
+    "Sub": subtract,
+    "Maximum": maximum,
+    "Minimum": minimum,
+}
+
+
+def resolve(method: Union[str, Callable], table: Dict[str, Callable] = None) -> Callable:
+    if callable(method):
+        return method
+    table = table or EDGE_TRANSFORMER_METHODS
+    # Case-insensitive resolution with a helpful error.
+    for name, fn in table.items():
+        if name.lower() == method.lower():
+            return fn
+    raise ValueError(
+        f"Unknown edge-embedding method {method!r}; available: {sorted(table)}"
+    )
+
+
+def output_dim(method: str, embedding_dim: int) -> int:
+    """Feature width the operator produces for a given node-embedding width."""
+    name = method.lower()
+    if name == "concatenate":
+        return 2 * embedding_dim
+    if name in ("l2distance", "cosinesimilarity", "dot", "euclideandistance"):
+        return 1
+    return embedding_dim

@@ -1,0 +1,64 @@
+"""Sparse matrix ops for graph convolution: SpMM and SDDMM.
+
+Replaces the reference's `embedding_ops.embedding_lookup_sparse_v2` hot op in
+`GraphConvolution` (reference
+`embiggen/layers/tensorflow/graph_convolution_layer.py:160-166`) with
+XLA-native segment reductions over COO kernels. On TPU, XLA lowers
+`segment_sum` to a sort+scatter pipeline that keeps the dense feature gather
+and multiply on the VPU/MXU; a Pallas edge-blocked variant lives in
+`pallas/spmm_kernel.py` for the large-scale path.
+
+Combiners mirror the reference surface: sum / mean / sqrtn
+(`graph_convolution_layer.py:16-174`).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+@functools.partial(jax.jit, static_argnames=("n_out", "combiner"))
+def spmm(
+    rows: jnp.ndarray,      # [E] output row per edge
+    cols: jnp.ndarray,      # [E] input row per edge
+    vals: jnp.ndarray,      # [E] kernel weights
+    x: jnp.ndarray,         # [N_in, D] dense features
+    n_out: int,
+    combiner: str = "sum",
+) -> jnp.ndarray:
+    """out[r] = combine_{e: rows[e]=r} vals[e] * x[cols[e]]  → [n_out, D]."""
+    gathered = x[cols] * vals[:, None]
+    out = jax.ops.segment_sum(gathered, rows, num_segments=n_out)
+    if combiner == "sum":
+        return out
+    counts = jax.ops.segment_sum(
+        jnp.abs(vals), rows, num_segments=n_out
+    )
+    if combiner == "mean":
+        return out / jnp.maximum(counts, 1e-9)[:, None]
+    if combiner == "sqrtn":
+        # sqrtn divides by sqrt(sum of squared weights), TF semantics.
+        sq = jax.ops.segment_sum(vals * vals, rows, num_segments=n_out)
+        return out / jnp.maximum(jnp.sqrt(sq), 1e-9)[:, None]
+    raise ValueError(f"Unknown combiner {combiner!r}")
+
+
+@jax.jit
+def sddmm(
+    rows: jnp.ndarray, cols: jnp.ndarray, a: jnp.ndarray, b: jnp.ndarray
+) -> jnp.ndarray:
+    """Sampled dense-dense matmul: per-edge scores (a[rows] · b[cols]) → [E]."""
+    return jnp.sum(a[rows] * b[cols], axis=-1)
+
+
+def coo_to_device(
+    rows, cols, vals
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    return (
+        jnp.asarray(rows, dtype=jnp.int32),
+        jnp.asarray(cols, dtype=jnp.int32),
+        jnp.asarray(vals, dtype=jnp.float32),
+    )
