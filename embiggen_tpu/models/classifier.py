@@ -1,0 +1,229 @@
+"""AbstractClassifierModel — the task backbone mirroring the reference's
+`embiggen/utils/abstract_models/abstract_classifier_model.py`: feature
+normalization (strings/models/EmbeddingResults/DataFrames/ndarrays → aligned
+feature matrices, with holdout-biased features deferred as model objects),
+fit/predict/predict_proba verbs, metric computation, and the holdout
+evaluation harness (`evaluate`, `_evaluate_on_single_holdout`).
+"""
+from __future__ import annotations
+
+import platform
+import time
+import warnings
+from typing import Any, Dict, List, Optional, Sequence, Tuple, Union
+
+import numpy as np
+
+from ..graph.graph import Graph
+from ..ops.metrics import all_binary_metrics, multiclass_metrics
+from .abstract import AbstractEmbeddingModel, AbstractModel
+from .embedding_result import EmbeddingResult
+
+FeatureLike = Union[str, AbstractEmbeddingModel, EmbeddingResult, np.ndarray, Any]
+
+
+def _align_dataframe(df, graph: Graph) -> np.ndarray:
+    """Reindex a node-indexed DataFrame to the graph's node ordering
+    (reference `NodeTransformer` alignment, `node_transformer.py:8-243`)."""
+    names = graph.get_node_names()
+    missing = set(names) - set(df.index)
+    if missing:
+        raise ValueError(
+            f"Node features DataFrame is missing {len(missing)} nodes, e.g. "
+            f"{sorted(missing)[:5]}"
+        )
+    return df.loc[names].to_numpy(dtype=np.float32)
+
+
+class AbstractClassifierModel(AbstractModel):
+    """Shared backbone for edge / edge-label / node-label prediction models."""
+
+    def __init__(self, random_state: Optional[int] = None):
+        super().__init__(random_state=random_state)
+        self._fitting_was_executed = False
+
+    # ------------------------------------------------------------ feature prep
+    def normalize_node_features(
+        self,
+        graph: Graph,
+        node_features: Optional[Union[FeatureLike, List[FeatureLike]]],
+        allow_automatic_feature: bool = True,
+        skip_evaluation_biased_feature: bool = False,
+    ) -> Optional[List[Any]]:
+        """Normalize features into a list of [n_nodes, d] float32 arrays.
+
+        With `skip_evaluation_biased_feature`, feature *models* that are
+        topological or stochastic are returned unfitted so the evaluation
+        harness can re-fit them per holdout on the train graph only
+        (reference `abstract_classifier_model.py:693-709`)."""
+        if node_features is None:
+            return None
+        if not isinstance(node_features, list):
+            node_features = [node_features]
+        out: List[Any] = []
+        for feature in node_features:
+            if isinstance(feature, str):
+                if not allow_automatic_feature:
+                    raise ValueError(
+                        f"Cannot resolve feature name {feature!r} here."
+                    )
+                from .registry import get_model_from_library
+
+                feature = get_model_from_library(
+                    feature, task_name="Node Embedding"
+                )()
+            if isinstance(feature, AbstractEmbeddingModel):
+                if skip_evaluation_biased_feature and (
+                    feature.is_topological() or feature.is_stochastic()
+                ):
+                    out.append(feature)
+                    continue
+                feature = feature.fit_transform(graph)
+            if isinstance(feature, EmbeddingResult):
+                for emb in feature.get_all_node_embedding():
+                    out.append(self._validate_feature_matrix(emb, graph))
+                continue
+            out.append(self._validate_feature_matrix(feature, graph))
+        return out
+
+    def _validate_feature_matrix(self, feature, graph: Graph) -> np.ndarray:
+        if hasattr(feature, "loc"):
+            arr = _align_dataframe(feature, graph)
+        else:
+            arr = np.asarray(feature, dtype=np.float32)
+        if arr.ndim == 1:
+            arr = arr[:, None]
+        if arr.shape[0] != graph.number_of_nodes:
+            raise ValueError(
+                f"Feature has {arr.shape[0]} rows but graph "
+                f"{graph.name} has {graph.number_of_nodes} nodes."
+            )
+        if not np.isfinite(arr).all():
+            raise ValueError("Node features contain NaN or Inf values.")
+        return arr
+
+    @staticmethod
+    def fit_deferred_features(
+        features: Optional[List[Any]], graph: Graph
+    ) -> Optional[List[np.ndarray]]:
+        """Fit any deferred feature models on the (train) graph."""
+        if features is None:
+            return None
+        out = []
+        for f in features:
+            if isinstance(f, AbstractEmbeddingModel):
+                result = f.clone().fit_transform(graph)
+                out.extend(np.asarray(e) for e in result.get_all_node_embedding())
+            else:
+                out.append(f)
+        return out
+
+    @staticmethod
+    def concatenate_features(
+        features: Optional[List[np.ndarray]],
+    ) -> Optional[np.ndarray]:
+        if not features:
+            return None
+        return np.concatenate(
+            [np.asarray(f, dtype=np.float32) for f in features], axis=1
+        )
+
+    # ------------------------------------------------------------------- verbs
+    def fit(
+        self,
+        graph: Graph,
+        support: Optional[Graph] = None,
+        node_features: Optional[Union[FeatureLike, List[FeatureLike]]] = None,
+        node_type_features=None,
+        edge_type_features=None,
+        edge_features=None,
+    ) -> "AbstractClassifierModel":
+        if graph.number_of_directed_edges == 0:
+            raise ValueError(f"Graph {graph.name} has no edges.")
+        if self.requires_node_types() and not graph.has_node_types:
+            raise ValueError(
+                f"{self.model_name()} requires node types; graph "
+                f"{graph.name} has none."
+            )
+        if self.requires_edge_types() and not graph.has_edge_types:
+            raise ValueError(
+                f"{self.model_name()} requires edge types; graph "
+                f"{graph.name} has none."
+            )
+        node_features = self.normalize_node_features(graph, node_features)
+        try:
+            self._fit(
+                graph,
+                support=support or graph,
+                node_features=node_features,
+                node_type_features=node_type_features,
+                edge_type_features=edge_type_features,
+                edge_features=edge_features,
+            )
+        except Exception as exc:
+            raise RuntimeError(
+                f"Error while fitting {self.model_name()} from library "
+                f"{self.library_name()} on graph {graph.name} for task "
+                f"{self.task_name()}: {exc}"
+            ) from exc
+        self._fitting_was_executed = True
+        return self
+
+    def predict(self, graph: Graph, **kwargs) -> np.ndarray:
+        self._check_fitted()
+        proba = self.predict_proba(graph, **kwargs)
+        if proba.ndim == 1 or proba.shape[1] == 1:
+            return (proba.reshape(-1) > 0.5).astype(np.int32)
+        return proba.argmax(axis=1).astype(np.int32)
+
+    def predict_proba(self, graph: Graph, **kwargs) -> np.ndarray:
+        self._check_fitted()
+        return self._predict_proba(graph, **kwargs)
+
+    def _check_fitted(self):
+        if not self._fitting_was_executed:
+            raise ValueError(
+                f"{self.model_name()} must be fitted before predicting; call "
+                ".fit() first."
+            )
+
+    # ------------------------------------------------------ subclass interface
+    def _fit(self, graph: Graph, support: Graph, node_features, **kwargs):
+        raise NotImplementedError
+
+    def _predict_proba(self, graph: Graph, **kwargs) -> np.ndarray:
+        raise NotImplementedError
+
+    def is_binary_prediction_task(self) -> bool:
+        return False
+
+    def is_multilabel_prediction_task(self) -> bool:
+        return False
+
+    # ----------------------------------------------------------------- metrics
+    def evaluate_prediction_probabilities(
+        self, labels: np.ndarray, probabilities: np.ndarray
+    ) -> Dict[str, float]:
+        if self.is_binary_prediction_task():
+            scores = (
+                probabilities
+                if probabilities.ndim == 1
+                else probabilities[:, -1]
+            )
+            return all_binary_metrics(labels, scores)
+        return multiclass_metrics(
+            labels, probabilities, multilabel=self.is_multilabel_prediction_task()
+        )
+
+    @staticmethod
+    def run_metadata() -> Dict[str, Any]:
+        """Platform metadata embedded in every evaluation report (reference
+        `abstract_classifier_model.py:2904-2936`)."""
+        import os
+
+        return {
+            "platform": platform.platform(),
+            "python_version": platform.python_version(),
+            "number_of_threads": os.cpu_count(),
+            "hostname": platform.node(),
+        }

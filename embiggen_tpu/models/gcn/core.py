@@ -1,0 +1,303 @@
+"""GCN core: functional encoder + training loop — the TPU-native counterpart
+of the reference's `AbstractGCN` (`embiggen/utils/abstract_gcn.py:201-1066`).
+
+The reference assembles Keras graphs with sparse-tensor inputs and
+`embedding_lookup_sparse` convolutions; here the model is a pure function
+`(params, features, kernels) -> node representations` built on the COO SpMM
+from `ops/spmm.py`, trained full-graph with optax under jit. Kernel choice
+per model mirrors the reference trio: Kipf GCN = Symmetric Normalized
+Laplacian (`kipf_gcn.py:175`), GraphSAGE = Left Normalized Laplacian
+(`graph_sage.py:172`), GNN = no kernels (`gnn.py:163`).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ...graph.graph import Graph
+from ...graph.laplacians import kernel_coo
+from ...ops.spmm import spmm
+
+Params = Dict[str, Any]
+
+
+def glorot(key, shape):
+    limit = np.sqrt(6.0 / (shape[0] + shape[1]))
+    return jax.random.uniform(key, shape, jnp.float32, -limit, limit)
+
+
+def init_mlp(key, dims: Sequence[int]) -> List[Dict[str, jnp.ndarray]]:
+    layers = []
+    for i in range(len(dims) - 1):
+        key, sub = jax.random.split(key)
+        layers.append(
+            {
+                "w": glorot(sub, (dims[i], dims[i + 1])),
+                "b": jnp.zeros((dims[i + 1],), jnp.float32),
+            }
+        )
+    return layers
+
+
+def apply_mlp(layers, x, activation=jax.nn.relu, final_activation=None,
+              dropout_rate=0.0, key=None, training=False):
+    n = len(layers)
+    for i, layer in enumerate(layers):
+        if training and dropout_rate > 0 and key is not None:
+            key, sub = jax.random.split(key)
+            keep = jax.random.bernoulli(sub, 1.0 - dropout_rate, x.shape)
+            x = jnp.where(keep, x / (1.0 - dropout_rate), 0.0)
+        x = x @ layer["w"] + layer["b"]
+        if i < n - 1:
+            x = activation(x)
+        elif final_activation is not None:
+            x = final_activation(x)
+    return x
+
+
+class GCNEncoder:
+    """Stack of graph convolutions over one or more propagation kernels.
+
+    Per kernel k and layer l:  H = act( A_k @ (dropout(H)) W_l + b_l );
+    outputs of all kernels are concatenated; with `residual` the input features
+    are concatenated to the final representation (the reference's residual
+    concat of conv layers, `abstract_gcn.py:608-789`)."""
+
+    def __init__(
+        self,
+        kernel_names: Optional[Sequence[str]],
+        units: Sequence[int],
+        combiner: str = "sum",
+        dropout_rate: float = 0.5,
+        residual: bool = False,
+    ):
+        self.kernel_names = list(kernel_names) if kernel_names else []
+        self.units = list(units)
+        self.combiner = combiner
+        self.dropout_rate = dropout_rate
+        self.residual = residual
+
+    @property
+    def has_convolutions(self) -> bool:
+        return bool(self.kernel_names) and bool(self.units)
+
+    def build_kernels(self, graph: Graph):
+        """COO device arrays for each kernel."""
+        out = []
+        for name in self.kernel_names:
+            rows, cols, vals = kernel_coo(graph, name)
+            out.append(
+                (
+                    jnp.asarray(rows, jnp.int32),
+                    jnp.asarray(cols, jnp.int32),
+                    jnp.asarray(vals, jnp.float32),
+                )
+            )
+        return out
+
+    def init(self, key, in_dim: int) -> Params:
+        params: Params = {"kernels": []}
+        for _ in self.kernel_names:
+            key, sub = jax.random.split(key)
+            params["kernels"].append(init_mlp(sub, [in_dim] + self.units))
+        return params
+
+    def output_dim(self, in_dim: int) -> int:
+        if not self.has_convolutions:
+            return in_dim
+        d = self.units[-1] * len(self.kernel_names)
+        if self.residual:
+            d += in_dim
+        return d
+
+    def apply(
+        self,
+        params: Params,
+        kernels,  # list of (rows, cols, vals) device COO
+        x: jnp.ndarray,
+        n_nodes: int,
+        training: bool = False,
+        key=None,
+    ) -> jnp.ndarray:
+        if not self.has_convolutions:
+            return x
+        outs = []
+        for layers, (rows, cols, vals) in zip(params["kernels"], kernels):
+            h = x
+            for layer in layers:
+                if training and self.dropout_rate > 0 and key is not None:
+                    key, sub = jax.random.split(key)
+                    keep = jax.random.bernoulli(
+                        sub, 1.0 - self.dropout_rate, h.shape
+                    )
+                    h = jnp.where(keep, h / (1.0 - self.dropout_rate), 0.0)
+                h = spmm(rows, cols, vals, h, n_nodes, self.combiner)
+                h = jax.nn.relu(h @ layer["w"] + layer["b"])
+            outs.append(h)
+        h = jnp.concatenate(outs, axis=1) if len(outs) > 1 else outs[0]
+        if self.residual:
+            h = jnp.concatenate([h, x], axis=1)
+        return h
+
+
+def assemble_node_features(
+    graph: Graph,
+    node_features: Optional[List[np.ndarray]],
+    use_node_embedding: bool,
+    node_embedding_size: int,
+    use_node_type_embedding: bool,
+    node_type_embedding_size: int,
+    key,
+) -> Tuple[Params, "StaticFeatureSpec"]:
+    """Build the static feature matrix and any learned embedding tables
+    (reference optional learned node / node-type embeddings,
+    `abstract_gcn.py:201-419`)."""
+    mats = [np.asarray(f, np.float32) for f in (node_features or [])]
+    static = (
+        np.concatenate(mats, axis=1)
+        if mats
+        else np.zeros((graph.number_of_nodes, 0), np.float32)
+    )
+    params: Params = {}
+    type_ids = None
+    if use_node_embedding:
+        key, sub = jax.random.split(key)
+        params["node_embedding"] = (
+            jax.random.normal(
+                sub, (graph.number_of_nodes, node_embedding_size), jnp.float32
+            )
+            / np.sqrt(node_embedding_size)
+        )
+    if use_node_type_embedding:
+        if not graph.has_node_types:
+            raise ValueError(
+                "use_node_type_embedding requires a graph with node types."
+            )
+        key, sub = jax.random.split(key)
+        n_types = graph.number_of_node_types
+        params["node_type_embedding"] = (
+            jax.random.normal(
+                sub, (n_types + 1, node_type_embedding_size), jnp.float32
+            )
+            / np.sqrt(node_type_embedding_size)
+        )
+        # single-label gather (+1 shift, 0 = unknown)
+        type_ids = jnp.asarray(
+            graph.get_single_label_node_type_ids() + 1, jnp.int32
+        )
+    spec = StaticFeatureSpec(
+        static=jnp.asarray(static),
+        type_ids=type_ids,
+        use_node_embedding=use_node_embedding,
+        use_node_type_embedding=use_node_type_embedding,
+    )
+    return params, spec
+
+
+class StaticFeatureSpec:
+    def __init__(self, static, type_ids, use_node_embedding, use_node_type_embedding):
+        self.static = static
+        self.type_ids = type_ids
+        self.use_node_embedding = use_node_embedding
+        self.use_node_type_embedding = use_node_type_embedding
+
+    def dim(self, embed_params: Params) -> int:
+        d = self.static.shape[1]
+        if self.use_node_embedding:
+            d += embed_params["node_embedding"].shape[1]
+        if self.use_node_type_embedding:
+            d += embed_params["node_type_embedding"].shape[1]
+        return d
+
+    def materialize(self, embed_params: Params) -> jnp.ndarray:
+        parts = [self.static]
+        if self.use_node_embedding:
+            parts.append(embed_params["node_embedding"])
+        if self.use_node_type_embedding:
+            parts.append(embed_params["node_type_embedding"][self.type_ids])
+        return jnp.concatenate(parts, axis=1)
+
+
+class TrainLoop:
+    """Host-side epoch loop with the reference's Keras callbacks re-created:
+    EarlyStopping, ReduceLROnPlateau and TerminateOnNaN on training loss
+    (`abstract_gcn.py:899-1066`)."""
+
+    def __init__(
+        self,
+        epochs: int = 1000,
+        learning_rate: float = 0.001,
+        early_stopping_patience: int = 10,
+        early_stopping_min_delta: float = 1e-4,
+        reduce_lr_patience: int = 5,
+        reduce_lr_factor: float = 0.5,
+        steps_per_epoch: int = 1,
+        verbose: bool = False,
+    ):
+        self.epochs = epochs
+        self.learning_rate = learning_rate
+        self.early_stopping_patience = early_stopping_patience
+        self.early_stopping_min_delta = early_stopping_min_delta
+        self.reduce_lr_patience = reduce_lr_patience
+        self.reduce_lr_factor = reduce_lr_factor
+        self.steps_per_epoch = steps_per_epoch
+        self.verbose = verbose
+
+    def run(self, params, loss_step, key):
+        """loss_step(params, key) -> (loss, grads). One epoch =
+        `steps_per_epoch` optimizer steps scanned inside a single jit."""
+        optimizer = optax.adam(self.learning_rate)
+        opt_state = optimizer.init(params)
+        n_steps = self.steps_per_epoch
+
+        @jax.jit
+        def step(params, opt_state, epoch_key, lr_scale):
+            def body(carry, k):
+                params, opt_state = carry
+                loss, grads = loss_step(params, k)
+                grads = jax.tree_util.tree_map(lambda g: g * lr_scale, grads)
+                updates, opt_state = optimizer.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state), loss
+
+            keys = jax.random.split(epoch_key, n_steps)
+            (params, opt_state), losses = jax.lax.scan(
+                body, (params, opt_state), keys
+            )
+            return params, opt_state, losses.mean()
+
+        best = np.inf
+        best_params = params
+        patience = 0
+        lr_patience = 0
+        lr_scale = 1.0
+        history = []
+        for epoch in range(self.epochs):
+            key, sub = jax.random.split(key)
+            params, opt_state, loss = step(
+                params, opt_state, sub, jnp.float32(lr_scale)
+            )
+            loss = float(loss)
+            history.append(loss)
+            if not np.isfinite(loss):  # TerminateOnNaN
+                params = best_params
+                break
+            if loss < best - self.early_stopping_min_delta:
+                best = loss
+                best_params = params
+                patience = 0
+                lr_patience = 0
+            else:
+                patience += 1
+                lr_patience += 1
+                if lr_patience >= self.reduce_lr_patience:
+                    lr_scale *= self.reduce_lr_factor
+                    lr_patience = 0
+                if patience >= self.early_stopping_patience:
+                    break
+        return best_params, history

@@ -1,0 +1,419 @@
+"""Edge-level GCNs: edge prediction and edge-label prediction — reference
+counterparts: `embiggen/utils/abstract_edge_gcn.py` (src/dst lookup of conv
+outputs `:487-494`, FFNN towers `:625-700`, edge-embedding combination
+`:769-838`) and the per-task quartets
+`edge_prediction_tensorflow/{gcn,kipf_gcn,graph_sage,gnn}.py`,
+`edge_label_prediction_tensorflow/...`.
+
+Training runs full-graph convolution per step with an on-device edge
+minibatch: positives are uniform arcs, negatives scale-free corruptions
+(replacing the reference's Rust `get_edge_prediction_mini_batch`), so the
+whole step — sampling, SpMM, gather, head, loss, update — is one jit region.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...graph.graph import DeviceGraph, Graph
+from ...ops import edge_ops
+from ...ops.negatives import edge_prediction_mini_batch
+from ..classifier import AbstractClassifierModel
+from ..registry import register_model
+from .core import (
+    GCNEncoder,
+    TrainLoop,
+    apply_mlp,
+    assemble_node_features,
+    init_mlp,
+)
+
+
+class _EdgeGCNBase(AbstractClassifierModel):
+    """Shared encoder + towers + edge-combination + head machinery."""
+
+    DEFAULT_KERNELS = ["Symmetric Normalized Laplacian"]
+
+    def __init__(
+        self,
+        kernels: Optional[Sequence[str]] = None,
+        units: Sequence[int] = (128, 128),
+        tower_units: Sequence[int] = (64,),
+        head_units: Sequence[int] = (32,),
+        edge_embedding_method: str = "Concatenate",
+        siamese_towers: bool = True,
+        combiner: str = "sum",
+        dropout_rate: float = 0.5,
+        residual: bool = False,
+        use_node_embedding: bool = False,
+        node_embedding_size: int = 50,
+        use_node_type_embedding: bool = False,
+        node_type_embedding_size: int = 50,
+        use_edge_type_embedding: bool = False,
+        edge_type_embedding_size: int = 16,
+        batch_size: int = 1024,
+        epochs: int = 200,
+        learning_rate: float = 0.001,
+        early_stopping_patience: int = 20,
+        random_state: int = 42,
+    ):
+        self._kernels = (
+            list(kernels) if kernels is not None else list(self.DEFAULT_KERNELS)
+        )
+        self._units = list(units)
+        self._tower_units = list(tower_units)
+        self._head_units = list(head_units)
+        self._edge_embedding_method = edge_embedding_method
+        self._siamese_towers = siamese_towers
+        self._combiner = combiner
+        self._dropout_rate = dropout_rate
+        self._residual = residual
+        self._use_node_embedding = use_node_embedding
+        self._node_embedding_size = node_embedding_size
+        self._use_node_type_embedding = use_node_type_embedding
+        self._node_type_embedding_size = node_type_embedding_size
+        self._use_edge_type_embedding = use_edge_type_embedding
+        self._edge_type_embedding_size = edge_type_embedding_size
+        self._batch_size = batch_size
+        self._epochs = epochs
+        self._learning_rate = learning_rate
+        self._early_stopping_patience = early_stopping_patience
+        edge_ops.resolve(edge_embedding_method, edge_ops.EDGE_GCN_METHODS)
+        super().__init__(random_state=random_state)
+
+    def parameters(self) -> Dict[str, Any]:
+        return {
+            **super().parameters(),
+            "kernels": self._kernels,
+            "units": self._units,
+            "tower_units": self._tower_units,
+            "head_units": self._head_units,
+            "edge_embedding_method": self._edge_embedding_method,
+            "siamese_towers": self._siamese_towers,
+            "combiner": self._combiner,
+            "dropout_rate": self._dropout_rate,
+            "residual": self._residual,
+            "use_node_embedding": self._use_node_embedding,
+            "node_embedding_size": self._node_embedding_size,
+            "use_node_type_embedding": self._use_node_type_embedding,
+            "node_type_embedding_size": self._node_type_embedding_size,
+            "use_edge_type_embedding": self._use_edge_type_embedding,
+            "edge_type_embedding_size": self._edge_type_embedding_size,
+            "batch_size": self._batch_size,
+            "epochs": self._epochs,
+            "learning_rate": self._learning_rate,
+            "early_stopping_patience": self._early_stopping_patience,
+        }
+
+    @classmethod
+    def smoke_test_parameters(cls) -> Dict[str, Any]:
+        return {
+            "units": [8], "tower_units": [8], "head_units": [8],
+            "epochs": 5, "batch_size": 64,
+        }
+
+    # --------------------------------------------------------------- assembly
+    def _build_common(self, graph: Graph, support: Graph, node_features, key):
+        self._encoder = GCNEncoder(
+            self._kernels if self._units else None,
+            self._units,
+            combiner=self._combiner,
+            dropout_rate=self._dropout_rate,
+            residual=self._residual,
+        )
+        kernels = self._encoder.build_kernels(support)
+        self._kernels_coo = kernels
+
+        key, k_feat, k_enc, k_tower_s, k_tower_d, k_head = jax.random.split(key, 6)
+        embed_params, spec = assemble_node_features(
+            graph, node_features,
+            self._use_node_embedding, self._node_embedding_size,
+            self._use_node_type_embedding, self._node_type_embedding_size,
+            k_feat,
+        )
+        if spec.dim(embed_params) == 0:
+            embed_params, spec = assemble_node_features(
+                graph, node_features, True, self._node_embedding_size,
+                self._use_node_type_embedding, self._node_type_embedding_size,
+                k_feat,
+            )
+        self._spec = spec
+
+        in_dim = spec.dim(embed_params)
+        enc_params = self._encoder.init(k_enc, in_dim)
+        rep_dim = self._encoder.output_dim(in_dim)
+        tower_dims = [rep_dim] + self._tower_units
+        src_tower = init_mlp(k_tower_s, tower_dims)
+        dst_tower = (
+            src_tower
+            if self._siamese_towers
+            else init_mlp(k_tower_d, tower_dims)
+        )
+        tower_out = tower_dims[-1]
+        combine_fn = edge_ops.resolve(
+            self._edge_embedding_method, edge_ops.EDGE_GCN_METHODS
+        )
+        edge_dim = edge_ops.output_dim(self._edge_embedding_method, tower_out)
+        if self._use_edge_type_embedding:
+            edge_dim += self._edge_type_embedding_size
+        head = init_mlp(k_head, [edge_dim] + self._head_units + [self._n_outputs])
+        params = {
+            "embed": embed_params,
+            "enc": enc_params,
+            "src_tower": src_tower,
+            "head": head,
+        }
+        if not self._siamese_towers:
+            params["dst_tower"] = dst_tower
+        if self._use_edge_type_embedding:
+            key, k_et = jax.random.split(key)
+            n_et = max(graph.number_of_edge_types, 1)
+            params["edge_type_embedding"] = (
+                jax.random.normal(
+                    k_et, (n_et + 1, self._edge_type_embedding_size), jnp.float32
+                )
+                / np.sqrt(self._edge_type_embedding_size)
+            )
+        self._combine_fn = combine_fn
+        return params, kernels
+
+    def _edge_logits(
+        self, params, kernels, src, dst, n_nodes, training=False, key=None,
+        edge_types=None,
+    ):
+        x = self._spec.materialize(params["embed"])
+        h = self._encoder.apply(
+            params["enc"], kernels, x, n_nodes, training=training, key=key
+        )
+        h_src = apply_mlp(params["src_tower"], h[src], final_activation=jax.nn.relu)
+        dst_tower = params.get("dst_tower", params["src_tower"])
+        h_dst = apply_mlp(dst_tower, h[dst], final_activation=jax.nn.relu)
+        e = self._combine_fn(h_src, h_dst)
+        if self._use_edge_type_embedding:
+            et = (
+                edge_types
+                if edge_types is not None
+                else jnp.zeros(src.shape, jnp.int32)
+            )
+            e = jnp.concatenate(
+                [e, params["edge_type_embedding"][et + 1]], axis=1
+            )
+        return apply_mlp(params["head"], e)
+
+
+class GCNEdgePrediction(_EdgeGCNBase):
+    """Configurable edge-prediction GCN (reference "Everything Bagel GCN",
+    `edge_prediction_tensorflow/gcn.py:420-421`)."""
+
+    @classmethod
+    def task_name(cls) -> str:
+        return "Edge Prediction"
+
+    @classmethod
+    def model_name(cls) -> str:
+        return "Everything Bagel GCN"
+
+    def is_binary_prediction_task(self) -> bool:
+        return True
+
+    def __init__(self, negative_samples_rate: float = 0.5,
+                 use_scale_free_distribution: bool = True, **kwargs):
+        self._negative_samples_rate = negative_samples_rate
+        self._use_scale_free_distribution = use_scale_free_distribution
+        super().__init__(**kwargs)
+
+    def parameters(self):
+        return {
+            **super().parameters(),
+            "negative_samples_rate": self._negative_samples_rate,
+            "use_scale_free_distribution": self._use_scale_free_distribution,
+        }
+
+    def _fit(self, graph: Graph, support: Graph, node_features, **kwargs):
+        key = jax.random.PRNGKey(self.random_state or 0)
+        self._n_outputs = 1
+        params, kernels = self._build_common(graph, support, node_features, key)
+        dg = graph.device()
+        n_nodes = graph.number_of_nodes
+        batch_size = min(self._batch_size, max(graph.number_of_directed_edges, 8))
+        rate = self._negative_samples_rate
+        scale_free = self._use_scale_free_distribution
+        model = self
+
+        def loss_fn(params, k):
+            k_batch, k_drop = jax.random.split(k)
+            src, dst, labels = edge_prediction_mini_batch(
+                dg, k_batch, batch_size,
+                negative_samples_rate=rate,
+                use_scale_free_distribution=scale_free,
+            )
+            logits = model._edge_logits(
+                params, kernels, src, dst, n_nodes, training=True, key=k_drop
+            )[:, 0]
+            return (jax.nn.softplus(logits) - labels * logits).mean()
+
+        loop = TrainLoop(
+            epochs=self._epochs, learning_rate=self._learning_rate,
+            early_stopping_patience=self._early_stopping_patience,
+            steps_per_epoch=max(
+                1, graph.number_of_directed_edges // batch_size
+            ),
+        )
+        self._params, self._history = loop.run(
+            params, jax.value_and_grad(loss_fn), key
+        )
+        self._n_nodes = n_nodes
+
+    def _predict_proba(self, graph: Graph, support: Optional[Graph] = None,
+                       **kwargs) -> np.ndarray:
+        """Sigmoid scores for every arc of `graph` (the candidate edge set),
+        convolving over the fitted support kernels."""
+        kernels = self._kernels_coo
+        src = jnp.asarray(graph.sources, jnp.int32)
+        dst = jnp.asarray(graph.col_idx, jnp.int32)
+        logits = self._edge_logits(
+            self._params, kernels, src, dst, self._n_nodes
+        )[:, 0]
+        return np.asarray(jax.nn.sigmoid(logits))
+
+    def predict_proba_from_edge_node_ids(
+        self, src: np.ndarray, dst: np.ndarray
+    ) -> np.ndarray:
+        logits = self._edge_logits(
+            self._params, self._kernels_coo,
+            jnp.asarray(src, jnp.int32), jnp.asarray(dst, jnp.int32),
+            self._n_nodes,
+        )[:, 0]
+        return np.asarray(jax.nn.sigmoid(logits))
+
+
+class GCNEdgeLabelPrediction(_EdgeGCNBase):
+    """Configurable edge-label prediction GCN (reference
+    `edge_label_prediction_tensorflow/gcn.py`)."""
+
+    @classmethod
+    def task_name(cls) -> str:
+        return "Edge Label Prediction"
+
+    @classmethod
+    def model_name(cls) -> str:
+        return "Everything Bagel GCN"
+
+    @classmethod
+    def requires_edge_types(cls) -> bool:
+        return True
+
+    def is_binary_prediction_task(self) -> bool:
+        return self._n_outputs == 2
+
+    def _fit(self, graph: Graph, support: Graph, node_features, **kwargs):
+        key = jax.random.PRNGKey(self.random_state or 0)
+        self._n_outputs = max(graph.number_of_edge_types, 2)
+        params, kernels = self._build_common(graph, support, node_features, key)
+        n_nodes = graph.number_of_nodes
+
+        known = graph.get_known_edge_types_mask()
+        known_idx = np.nonzero(known)[0]
+        if len(known_idx) == 0:
+            raise ValueError("Graph has no known edge types to train on.")
+        src_all = jnp.asarray(graph.sources[known_idx], jnp.int32)
+        dst_all = jnp.asarray(graph.col_idx[known_idx], jnp.int32)
+        y_all = jnp.asarray(graph.edge_types[known_idx], jnp.int32)
+        n_known = len(known_idx)
+        batch_size = min(self._batch_size, n_known)
+        model = self
+
+        def loss_fn(params, k):
+            k_batch, k_drop = jax.random.split(k)
+            pick = jax.random.randint(k_batch, (batch_size,), 0, n_known)
+            src, dst, y = src_all[pick], dst_all[pick], y_all[pick]
+            logits = model._edge_logits(
+                params, kernels, src, dst, n_nodes, training=True, key=k_drop
+            )
+            logp = jax.nn.log_softmax(logits, axis=1)
+            return -jnp.take_along_axis(logp, y[:, None], axis=1).mean()
+
+        loop = TrainLoop(
+            epochs=self._epochs, learning_rate=self._learning_rate,
+            early_stopping_patience=self._early_stopping_patience,
+            steps_per_epoch=max(1, n_known // batch_size),
+        )
+        self._params, self._history = loop.run(
+            params, jax.value_and_grad(loss_fn), key
+        )
+        self._n_nodes = n_nodes
+
+    def _predict_proba(self, graph: Graph, **kwargs) -> np.ndarray:
+        src = jnp.asarray(graph.sources, jnp.int32)
+        dst = jnp.asarray(graph.col_idx, jnp.int32)
+        logits = self._edge_logits(
+            self._params, self._kernels_coo, src, dst, self._n_nodes
+        )
+        return np.asarray(jax.nn.softmax(logits, axis=1))
+
+
+def _kernel_preset(base, name, kernel_list, doc):
+    """Create a Kipf/GraphSAGE/GNN preset subclass of an edge GCN."""
+
+    def __init__(self, **kwargs):
+        kwargs.pop("kernels", None)
+        if not kernel_list:
+            kwargs.setdefault("use_node_embedding", True)
+            base.__init__(self, kernels=[], units=(), **kwargs)
+        else:
+            base.__init__(self, kernels=list(kernel_list), **kwargs)
+
+    def parameters(self):
+        p = base.parameters(self)
+        p.pop("kernels", None)
+        if not kernel_list:
+            p.pop("units", None)
+        return p
+
+    cls = type(
+        name,
+        (base,),
+        {
+            "__init__": __init__,
+            "parameters": parameters,
+            "model_name": classmethod(lambda cls: doc),
+            "DEFAULT_KERNELS": list(kernel_list),
+            "__doc__": f"{doc} preset of {base.__name__}.",
+        },
+    )
+    if not kernel_list:
+        cls.smoke_test_parameters = classmethod(
+            lambda cls: {"tower_units": [8], "head_units": [8], "epochs": 5,
+                         "batch_size": 64}
+        )
+    return register_model(cls)
+
+
+KipfGCNEdgePrediction = _kernel_preset(
+    GCNEdgePrediction, "KipfGCNEdgePrediction",
+    ["Symmetric Normalized Laplacian"], "Kipf GCN",
+)
+GraphSAGEEdgePrediction = _kernel_preset(
+    GCNEdgePrediction, "GraphSAGEEdgePrediction",
+    ["Left Normalized Laplacian"], "GraphSAGE",
+)
+GNNEdgePrediction = _kernel_preset(
+    GCNEdgePrediction, "GNNEdgePrediction", [], "GNN",
+)
+KipfGCNEdgeLabelPrediction = _kernel_preset(
+    GCNEdgeLabelPrediction, "KipfGCNEdgeLabelPrediction",
+    ["Symmetric Normalized Laplacian"], "Kipf GCN",
+)
+GraphSAGEEdgeLabelPrediction = _kernel_preset(
+    GCNEdgeLabelPrediction, "GraphSAGEEdgeLabelPrediction",
+    ["Left Normalized Laplacian"], "GraphSAGE",
+)
+GNNEdgeLabelPrediction = _kernel_preset(
+    GCNEdgeLabelPrediction, "GNNEdgeLabelPrediction", [], "GNN",
+)
+
+register_model(GCNEdgePrediction)
+register_model(GCNEdgeLabelPrediction)

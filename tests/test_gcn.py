@@ -1,0 +1,121 @@
+"""GCN models: node-label, edge prediction, edge-label — end-to-end quality."""
+import numpy as np
+import pytest
+
+from embiggen_tpu.graph import (
+    connected_holdout,
+    karate_club,
+    sample_negative_graph,
+)
+from embiggen_tpu.models.gcn import (
+    GNNNodeLabelPrediction,
+    GraphSAGENodeLabelPrediction,
+    KipfGCNEdgeLabelPrediction,
+    KipfGCNEdgePrediction,
+    KipfGCNNodeLabelPrediction,
+)
+from embiggen_tpu.ops.metrics import binary_auroc
+
+
+@pytest.fixture(scope="module")
+def karate():
+    return karate_club()
+
+
+def test_kipf_gcn_node_label(karate):
+    model = KipfGCNNodeLabelPrediction(
+        units=[16], head_units=[16], epochs=100, learning_rate=0.05,
+        use_node_embedding=True, node_embedding_size=16, dropout_rate=0.2,
+        random_state=0,
+    )
+    model.fit(karate)
+    proba = model.predict_proba(karate)
+    assert proba.shape == (34, 2)
+    np.testing.assert_allclose(proba.sum(axis=1), 1.0, rtol=1e-4)
+    preds = model.predict(karate)
+    labels = karate.get_single_label_node_type_ids()
+    acc = (preds == labels).mean()
+    assert acc > 0.85, f"train accuracy too low: {acc}"
+
+
+def test_graphsage_node_label(karate):
+    model = GraphSAGENodeLabelPrediction(
+        units=[16], head_units=[16], epochs=60, learning_rate=0.05,
+        use_node_embedding=True, node_embedding_size=16, dropout_rate=0.2,
+        random_state=0,
+    )
+    model.fit(karate)
+    acc = (model.predict(karate) == karate.get_single_label_node_type_ids()).mean()
+    assert acc > 0.8
+
+
+def test_gnn_node_label(karate):
+    model = GNNNodeLabelPrediction(
+        head_units=[16], epochs=120, learning_rate=0.05,
+        node_embedding_size=16, dropout_rate=0.0, random_state=0,
+    )
+    model.fit(karate)
+    acc = (model.predict(karate) == karate.get_single_label_node_type_ids()).mean()
+    assert acc > 0.8
+
+
+def test_gcn_edge_prediction(karate):
+    train, test = connected_holdout(karate, train_size=0.8, random_state=0)
+    model = KipfGCNEdgePrediction(
+        units=[16], tower_units=[16], head_units=[8],
+        epochs=400, learning_rate=0.05, batch_size=64,
+        use_node_embedding=True, node_embedding_size=16, dropout_rate=0.1,
+        early_stopping_patience=50, random_state=0,
+    )
+    model.fit(train, support=train)
+    neg = sample_negative_graph(karate, test.number_of_edges, random_state=1)
+    pos_scores = model.predict_proba(test)
+    neg_scores = model.predict_proba(neg)
+    labels = np.concatenate(
+        [np.ones(len(pos_scores)), np.zeros(len(neg_scores))]
+    )
+    auroc = binary_auroc(labels, np.concatenate([pos_scores, neg_scores]))
+    assert auroc > 0.7, f"edge prediction AUROC too low: {auroc}"
+
+
+def test_gcn_edge_label(karate):
+    # Synthesize edge types: intra-community edges type 0, inter type 1.
+    import dataclasses
+
+    labels = karate.get_single_label_node_type_ids()
+    etypes = (
+        labels[karate.sources] != labels[karate.col_idx]
+    ).astype(np.int32)
+    g = dataclasses.replace(karate, edge_types=etypes)
+    model = KipfGCNEdgeLabelPrediction(
+        units=[16], tower_units=[16], head_units=[8],
+        epochs=120, learning_rate=0.02, batch_size=256,
+        use_node_embedding=True, node_embedding_size=16, dropout_rate=0.1,
+        random_state=0,
+    )
+    model.fit(g)
+    proba = model.predict_proba(g)
+    assert proba.shape == (g.number_of_directed_edges, 2)
+    acc = (proba.argmax(1) == etypes).mean()
+    assert acc > 0.8, f"edge-label accuracy too low: {acc}"
+
+
+def test_gcn_smoke_params(karate):
+    model = KipfGCNNodeLabelPrediction.into_smoke_test(random_state=1)
+    model.fit(karate)
+    assert model.predict_proba(karate).shape == (34, 2)
+
+
+def test_registry_tasks():
+    from embiggen_tpu.models.registry import MODELS_LIBRARY
+
+    assert "Kipf GCN" in MODELS_LIBRARY["Node Label Prediction"]
+    assert "Kipf GCN" in MODELS_LIBRARY["Edge Prediction"]
+    assert "GraphSAGE" in MODELS_LIBRARY["Edge Label Prediction"]
+    assert "GNN" in MODELS_LIBRARY["Edge Prediction"]
+
+
+def test_unfitted_raises(karate):
+    model = KipfGCNNodeLabelPrediction.into_smoke_test(random_state=1)
+    with pytest.raises(ValueError, match="fitted"):
+        model.predict(karate)
