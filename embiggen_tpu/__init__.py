@@ -10,5 +10,20 @@ __version__ = "0.1.0"
 
 from . import graph
 from .graph import Graph
+from . import models
+from . import transformers
+from .pipelines import (
+    classification_evaluation_pipeline,
+    edge_label_prediction_evaluation,
+    edge_prediction_evaluation,
+    embed_graph,
+    node_label_prediction_evaluation,
+)
 
-__all__ = ["graph", "Graph", "__version__"]
+__all__ = [
+    "graph", "Graph", "models", "transformers",
+    "embed_graph", "classification_evaluation_pipeline",
+    "edge_prediction_evaluation", "edge_label_prediction_evaluation",
+    "node_label_prediction_evaluation",
+    "__version__",
+]

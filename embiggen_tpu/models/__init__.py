@@ -1,4 +1,5 @@
 from .abstract import AbstractEmbeddingModel, AbstractModel
+from .classifier import AbstractClassifierModel
 from .embedding_result import EmbeddingResult
 from .registry import (
     MODELS_LIBRARY,
@@ -7,9 +8,16 @@ from .registry import (
     register_model,
 )
 from . import embedders
+from . import gcn
+from . import edge_prediction
+from . import node_label_prediction
+from . import edge_label_prediction
 
 __all__ = [
-    "AbstractModel", "AbstractEmbeddingModel", "EmbeddingResult",
+    "AbstractModel", "AbstractEmbeddingModel", "AbstractClassifierModel",
+    "EmbeddingResult",
     "MODELS_LIBRARY", "register_model", "get_model_from_library",
-    "find_available_models", "embedders",
+    "find_available_models",
+    "embedders", "gcn", "edge_prediction", "node_label_prediction",
+    "edge_label_prediction",
 ]

@@ -22,6 +22,8 @@ from ...graph.graph import DeviceGraph, Graph
 from ...ops import edge_ops
 from ...ops.negatives import edge_prediction_mini_batch
 from ..classifier import AbstractClassifierModel
+from ..edge_label_prediction.model import AbstractEdgeLabelPredictionModel
+from ..edge_prediction.model import AbstractEdgePredictionModel
 from ..registry import register_model
 from .core import (
     GCNEncoder,
@@ -204,20 +206,13 @@ class _EdgeGCNBase(AbstractClassifierModel):
         return apply_mlp(params["head"], e)
 
 
-class GCNEdgePrediction(_EdgeGCNBase):
+class GCNEdgePrediction(_EdgeGCNBase, AbstractEdgePredictionModel):
     """Configurable edge-prediction GCN (reference "Everything Bagel GCN",
     `edge_prediction_tensorflow/gcn.py:420-421`)."""
 
     @classmethod
-    def task_name(cls) -> str:
-        return "Edge Prediction"
-
-    @classmethod
     def model_name(cls) -> str:
         return "Everything Bagel GCN"
-
-    def is_binary_prediction_task(self) -> bool:
-        return True
 
     def __init__(self, negative_samples_rate: float = 0.5,
                  use_scale_free_distribution: bool = True, **kwargs):
@@ -290,21 +285,13 @@ class GCNEdgePrediction(_EdgeGCNBase):
         return np.asarray(jax.nn.sigmoid(logits))
 
 
-class GCNEdgeLabelPrediction(_EdgeGCNBase):
+class GCNEdgeLabelPrediction(_EdgeGCNBase, AbstractEdgeLabelPredictionModel):
     """Configurable edge-label prediction GCN (reference
     `edge_label_prediction_tensorflow/gcn.py`)."""
 
     @classmethod
-    def task_name(cls) -> str:
-        return "Edge Label Prediction"
-
-    @classmethod
     def model_name(cls) -> str:
         return "Everything Bagel GCN"
-
-    @classmethod
-    def requires_edge_types(cls) -> bool:
-        return True
 
     def is_binary_prediction_task(self) -> bool:
         return self._n_outputs == 2

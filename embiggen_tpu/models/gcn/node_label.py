@@ -16,7 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ...graph.graph import Graph
-from ..classifier import AbstractClassifierModel
+from ..node_label_prediction.model import AbstractNodeLabelPredictionModel
 from ..registry import register_model
 from .core import (
     GCNEncoder,
@@ -28,7 +28,7 @@ from .core import (
 )
 
 
-class GCNNodeLabelPrediction(AbstractClassifierModel):
+class GCNNodeLabelPrediction(AbstractNodeLabelPredictionModel):
     """Configurable GCN for node-label prediction (the reference's
     "Everything Bagel GCN")."""
 
