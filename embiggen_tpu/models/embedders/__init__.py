@@ -1,9 +1,33 @@
 from .walk_based import CBOW, DeepWalkCBOW, DeepWalkSkipGram, SkipGram, WalkBasedEmbedder
 from .line import FirstOrderLINE, SecondOrderLINE
 from .siamese import SiameseEmbedder, StructuredEmbedding, TransE, TransH, Unstructured
+from .glove import DeepWalkGloVe, GloVe
+from .walklets import WalkletsCBOW, WalkletsGloVe, WalkletsSkipGram
+from .spine import (
+    RUBICONE,
+    RUINE,
+    DegreeSPINE,
+    DegreeWINE,
+    NodeLabelSPINE,
+    NodeLabelWINE,
+    ScoreSPINE,
+    ScoreWINE,
+    WeightedSPINE,
+)
+from .spectral import (
+    HOPE,
+    GeometricLaplacianEigenmaps,
+    LaplacianEigenmaps,
+    SocioDim,
+)
 
 __all__ = [
     "WalkBasedEmbedder", "SkipGram", "CBOW", "DeepWalkSkipGram", "DeepWalkCBOW",
     "FirstOrderLINE", "SecondOrderLINE",
     "SiameseEmbedder", "TransE", "TransH", "Unstructured", "StructuredEmbedding",
+    "GloVe", "DeepWalkGloVe",
+    "WalkletsSkipGram", "WalkletsCBOW", "WalkletsGloVe",
+    "DegreeSPINE", "DegreeWINE", "NodeLabelSPINE", "NodeLabelWINE",
+    "ScoreSPINE", "ScoreWINE", "WeightedSPINE", "RUBICONE", "RUINE",
+    "HOPE", "LaplacianEigenmaps", "GeometricLaplacianEigenmaps", "SocioDim",
 ]
