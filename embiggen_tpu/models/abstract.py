@@ -240,10 +240,21 @@ class AbstractEmbeddingModel(AbstractModel):
                 "Refusing to build a >100M-row DataFrame; set "
                 "return_dataframe=False."
             )
-        result = self._fit_transform(graph)
+        result = self._cached_fit_transform(graph)
         if return_dataframe:
             result = result.to_dataframes()
         return result
+
+    def _cached_fit_transform(self, graph: Graph) -> EmbeddingResult:
+        """On-disk cache keyed by (model hash, graph hash) when
+        enable_cache, mirroring the reference's `@Cache` on
+        `_cached_fit_transform` (`abstract_embedding_model.py:91-95`)."""
+        from ..utils.cache import Cache
+
+        cached = Cache(
+            "embedding/{model_name}/{library_name}/{graph_name}/{hash}.pkl.gz"
+        )(type(self)._fit_transform)
+        return cached(self, graph)
 
     def _fit_transform(self, graph: Graph) -> EmbeddingResult:
         raise NotImplementedError

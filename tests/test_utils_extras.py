@@ -1,0 +1,103 @@
+"""Feature preprocessor, DAGResnik, caching, persistence, checkpointing."""
+import os
+
+import numpy as np
+import pytest
+
+from embiggen_tpu.graph import Graph, karate_club
+
+
+def test_graph_convolution_preprocessor(tmp_path):
+    from embiggen_tpu.models.feature_preprocessors import GraphConvolution
+
+    g = karate_club()
+    x = np.eye(34, dtype=np.float32)
+    pre = GraphConvolution(number_of_convolutions=2)
+    result = pre.transform(g, [x])
+    out = result.get_node_embedding_from_index(0)
+    assert out.shape == (34, 34)
+    # two rounds of left-normalized propagation = row-stochastic matrix
+    np.testing.assert_allclose(out.sum(axis=1), 1.0, rtol=1e-4)
+    cat = GraphConvolution(number_of_convolutions=2, concatenate_features=True)
+    out2 = cat.transform(g, [x]).get_node_embedding_from_index(0)
+    assert out2.shape == (34, 3 * 34)
+
+
+def test_dag_resnik():
+    from embiggen_tpu.similarities import DAGResnik
+
+    # Tiny ontology: 0 is the root; arcs child -> parent.
+    src = np.array([1, 2, 3, 4, 5, 6])
+    dst = np.array([0, 0, 1, 1, 2, 2])
+    dag = Graph.from_edge_arrays(
+        src, dst, n_nodes=7, directed=True,
+        node_names=[f"t{i}" for i in range(7)], name="toy_dag",
+    )
+    model = DAGResnik().fit(dag)
+    ic = model.get_information_content()
+    assert ic[0] == pytest.approx(0.0)  # root has all the mass
+    # siblings under node 1 share MICA node 1; cross-branch pairs share root.
+    sim_siblings = model.get_similarity_from_node_ids(3, 4)
+    sim_cross = model.get_similarity_from_node_ids(3, 5)
+    assert sim_siblings > sim_cross
+    assert sim_cross == pytest.approx(0.0)
+    m = model.get_similarities_from_bipartite_graph_node_ids([3, 4], [5, 6])
+    assert m.shape == (2, 2)
+    df = model.get_similarities_from_bipartite_graph_node_names(
+        ["t3"], ["t4"], return_similarities_dataframe=True
+    )
+    assert df.iloc[0]["resnik_score"] == pytest.approx(sim_siblings)
+
+
+def test_embedding_cache(tmp_path, monkeypatch):
+    import embiggen_tpu.utils.cache as cache_mod
+
+    monkeypatch.setattr(cache_mod, "DEFAULT_CACHE_DIR", str(tmp_path))
+    from embiggen_tpu.models.embedders import DegreeSPINE
+
+    g = karate_club()
+    model = DegreeSPINE(embedding_size=5, enable_cache=True)
+    r1 = model.fit_transform(g)
+    # cache file exists now
+    files = [
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(tmp_path)
+        for f in fs
+    ]
+    assert len(files) == 1
+    r2 = DegreeSPINE(embedding_size=5, enable_cache=True).fit_transform(g)
+    np.testing.assert_array_equal(
+        np.asarray(r1.get_node_embedding_from_index(0)),
+        np.asarray(r2.get_node_embedding_from_index(0)),
+    )
+
+
+def test_model_persistence(tmp_path):
+    from embiggen_tpu.models.gcn import KipfGCNNodeLabelPrediction
+    from embiggen_tpu.utils import dump_model, load_model
+
+    g = karate_club()
+    model = KipfGCNNodeLabelPrediction.into_smoke_test(random_state=1)
+    model.fit(g)
+    before = model.predict_proba(g)
+    path = str(tmp_path / "model.pkl.gz")
+    dump_model(model, path)
+    restored = load_model(path)
+    after = restored.predict_proba(g)
+    np.testing.assert_allclose(before, after, rtol=1e-5)
+
+
+def test_pytree_checkpoint(tmp_path):
+    import jax.numpy as jnp
+
+    from embiggen_tpu.utils import load_pytree, save_pytree
+
+    tree = {"a": jnp.arange(5.0), "b": {"c": jnp.ones((2, 3))}}
+    path = str(tmp_path / "ckpt")
+    save_pytree(path, tree)
+    like = {"a": jnp.zeros(5), "b": {"c": jnp.zeros((2, 3))}}
+    restored = load_pytree(path, like=like)
+    np.testing.assert_array_equal(np.asarray(restored["a"]), np.arange(5.0))
+    np.testing.assert_array_equal(
+        np.asarray(restored["b"]["c"]), np.ones((2, 3))
+    )
