@@ -207,40 +207,80 @@ class SkipGram(WalkBasedEmbedder):
         }
 
     def _step(self, dg, params, key, lr):
-        k_pairs, k_neg = jax.random.split(key)
-        contexts, words = self._sample_pairs(dg, k_pairs)
+        """Fused banded NCE step: each walk's embedding rows are gathered
+        ONCE as [B, L, D] and every center×context window score is computed
+        as one batched [L, D] @ [D, L] matmul on the MXU, masked to the
+        window band — ~8x less HBM gather/scatter traffic than per-pair
+        gathers, which is what the reference's per-pair NCE layer does
+        (`noise_contrastive_estimation.py:8-93`). Loss semantics match
+        `nce_loss` over `skipgram_pairs` exactly."""
+        k_start, k_walk, k_neg = jax.random.split(key, 3)
+        b = self._batch_size * self._iterations
+        starts = jax.random.randint(
+            k_start, (self._batch_size,), 0, dg.n_nodes, dtype=jnp.int32
+        )
+        walks = random_walks(
+            dg,
+            jnp.tile(starts, self._iterations),
+            self._walk_length,
+            k_walk,
+            return_weight=self._return_weight,
+            explore_weight=self._explore_weight,
+            max_neighbours=self._max_neighbours,
+        )
         negs = negative_nodes_for_nce(
             dg, k_neg, self._number_of_negative_samples,
             self._use_scale_free_distribution,
         )
+        length = self._walk_length
+        w = self._window_size
+        flat = walks.reshape(-1)
+        pos = jnp.arange(length)
+        center_ok = (pos >= w) & (pos < length - w)          # [L]
+        off = pos[None, :] - pos[:, None]
+        band = (jnp.abs(off) <= w) & (off != 0)              # [L, L]
+        pair_mask = (center_ok[:, None] & band).astype(jnp.float32)
+        n_centers = b * (length - 2 * w)
 
-        def loss_fn(w_emb, ctx_emb, pos_b, neg_emb, neg_b):
-            return L.nce_loss(w_emb, ctx_emb, pos_b, neg_emb, neg_b)
+        def loss_fn(w_rows, c_rows, b_rows, neg_emb, neg_b):
+            # w_rows, c_rows: [B, L, D]; scores for all (center, context).
+            scores = jnp.einsum(
+                "bld,bmd->blm", w_rows, c_rows,
+                preferred_element_type=jnp.float32,
+            ) + b_rows[:, None, :]
+            pos_loss = (jax.nn.softplus(-scores) * pair_mask[None]).sum()
+            neg_scores = jnp.einsum(
+                "bld,kd->blk", w_rows, neg_emb,
+                preferred_element_type=jnp.float32,
+            ) + neg_b[None, None, :]
+            neg_loss = (
+                jax.nn.softplus(neg_scores)
+                * center_ok.astype(jnp.float32)[None, :, None]
+            ).sum()
+            return (pos_loss + neg_loss) / n_centers
 
-        w_emb = params["node_embedding"][words]
-        ctx_emb = params["context_embedding"][contexts]
-        pos_b = params["context_bias"][contexts]
+        w_rows = params["node_embedding"][walks]
+        c_rows = params["context_embedding"][walks]
+        b_rows = params["context_bias"][walks]
         neg_emb = params["context_embedding"][negs]
         neg_b = params["context_bias"][negs]
         loss, grads = jax.value_and_grad(loss_fn, argnums=(0, 1, 2, 3, 4))(
-            w_emb, ctx_emb, pos_b, neg_emb, neg_b
+            w_rows, c_rows, b_rows, neg_emb, neg_b
         )
-        g_w, g_ctx, g_pb, g_neg, g_nb = grads
+        g_w, g_c, g_b, g_neg, g_nb = grads
         d = self.embedding_size
-        params["node_embedding"] = params["node_embedding"].at[words].add(-lr * g_w)
+        params["node_embedding"] = (
+            params["node_embedding"].at[flat].add(-lr * g_w.reshape(-1, d))
+        )
         params["context_embedding"] = (
             params["context_embedding"]
-            .at[contexts.reshape(-1)]
-            .add(-lr * g_ctx.reshape(-1, d))
-            .at[negs]
-            .add(-lr * g_neg)
+            .at[flat].add(-lr * g_c.reshape(-1, d))
+            .at[negs].add(-lr * g_neg)
         )
         params["context_bias"] = (
             params["context_bias"]
-            .at[contexts.reshape(-1)]
-            .add(-lr * g_pb.reshape(-1))
-            .at[negs]
-            .add(-lr * g_nb)
+            .at[flat].add(-lr * g_b.reshape(-1))
+            .at[negs].add(-lr * g_nb)
         )
         return params, loss
 
@@ -278,38 +318,73 @@ class CBOW(WalkBasedEmbedder):
         }
 
     def _step(self, dg, params, key, lr):
-        k_pairs, k_neg = jax.random.split(key)
-        contexts, words = self._sample_pairs(dg, k_pairs)
+        """Fused banded CBOW step: per-walk row gather [B, L, D], window mean
+        via a constant banded averaging matrix on the MXU, sampled softmax
+        against centre words + shared negatives (same HBM-traffic win as the
+        SkipGram step)."""
+        k_start, k_walk, k_neg = jax.random.split(key, 3)
+        b = self._batch_size * self._iterations
+        starts = jax.random.randint(
+            k_start, (self._batch_size,), 0, dg.n_nodes, dtype=jnp.int32
+        )
+        walks = random_walks(
+            dg, jnp.tile(starts, self._iterations), self._walk_length, k_walk,
+            return_weight=self._return_weight,
+            explore_weight=self._explore_weight,
+            max_neighbours=self._max_neighbours,
+        )
         negs = negative_nodes_for_nce(
             dg, k_neg, self._number_of_negative_samples,
             self._use_scale_free_distribution,
         )
+        length = self._walk_length
+        w = self._window_size
+        flat = walks.reshape(-1)
+        pos = jnp.arange(length)
+        center_ok = ((pos >= w) & (pos < length - w)).astype(jnp.float32)
+        off = pos[None, :] - pos[:, None]
+        band = ((jnp.abs(off) <= w) & (off != 0)).astype(jnp.float32)
+        avg = band / (2 * w)                                  # [L, L]
+        n_centers = b * (length - 2 * w)
 
-        def loss_fn(ctx_emb, true_emb, true_b, neg_emb, neg_b):
-            hidden = ctx_emb.mean(axis=1)
-            return L.sampled_softmax_loss(hidden, true_emb, true_b, neg_emb, neg_b)
+        def loss_fn(in_rows, out_rows, out_b, neg_emb, neg_b):
+            hidden = jnp.einsum(
+                "lm,bmd->bld", avg, in_rows,
+                preferred_element_type=jnp.float32,
+            )
+            true_logit = jnp.sum(hidden * out_rows, axis=2) + out_b  # [B, L]
+            neg_logits = jnp.einsum(
+                "bld,kd->blk", hidden, neg_emb,
+                preferred_element_type=jnp.float32,
+            ) + neg_b[None, None, :]
+            logits = jnp.concatenate(
+                [true_logit[..., None], neg_logits], axis=2
+            )
+            per = -jax.nn.log_softmax(logits, axis=2)[..., 0]   # [B, L]
+            return (per * center_ok[None, :]).sum() / n_centers
 
-        ctx_emb = params["node_embedding"][contexts]
-        true_emb = params["output_embedding"][words]
-        true_b = params["output_bias"][words]
+        in_rows = params["node_embedding"][walks]
+        out_rows = params["output_embedding"][walks]
+        out_b = params["output_bias"][walks]
         neg_emb = params["output_embedding"][negs]
         neg_b = params["output_bias"][negs]
         loss, grads = jax.value_and_grad(loss_fn, argnums=(0, 1, 2, 3, 4))(
-            ctx_emb, true_emb, true_b, neg_emb, neg_b
+            in_rows, out_rows, out_b, neg_emb, neg_b
         )
-        g_ctx, g_true, g_tb, g_neg, g_nb = grads
+        g_in, g_out, g_ob, g_neg, g_nb = grads
         d = self.embedding_size
         params["node_embedding"] = (
-            params["node_embedding"]
-            .at[contexts.reshape(-1)]
-            .add(-lr * g_ctx.reshape(-1, d))
+            params["node_embedding"].at[flat].add(-lr * g_in.reshape(-1, d))
         )
         params["output_embedding"] = (
-            params["output_embedding"].at[words].add(-lr * g_true)
+            params["output_embedding"]
+            .at[flat].add(-lr * g_out.reshape(-1, d))
             .at[negs].add(-lr * g_neg)
         )
         params["output_bias"] = (
-            params["output_bias"].at[words].add(-lr * g_tb).at[negs].add(-lr * g_nb)
+            params["output_bias"]
+            .at[flat].add(-lr * g_ob.reshape(-1))
+            .at[negs].add(-lr * g_nb)
         )
         return params, loss
 

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 
 from ..graph.graph import DeviceGraph
 
-UNREACHED = jnp.float32(1e9)
+UNREACHED = 1e9  # plain float: module import must not touch the backend
 
 
 @functools.partial(jax.jit, static_argnames=("max_depth", "weighted"))

@@ -20,7 +20,9 @@ import jax
 import jax.numpy as jnp
 
 
-@functools.partial(jax.jit, static_argnames=("n_out", "combiner"))
+@functools.partial(
+    jax.jit, static_argnames=("n_out", "combiner", "sorted_rows")
+)
 def spmm(
     rows: jnp.ndarray,      # [E] output row per edge
     cols: jnp.ndarray,      # [E] input row per edge
@@ -28,21 +30,31 @@ def spmm(
     x: jnp.ndarray,         # [N_in, D] dense features
     n_out: int,
     combiner: str = "sum",
+    sorted_rows: bool = True,
 ) -> jnp.ndarray:
-    """out[r] = combine_{e: rows[e]=r} vals[e] * x[cols[e]]  → [n_out, D]."""
-    gathered = x[cols] * vals[:, None]
-    out = jax.ops.segment_sum(gathered, rows, num_segments=n_out)
+    """out[r] = combine_{e: rows[e]=r} vals[e] * x[cols[e]]  → [n_out, D].
+
+    CSR-derived COO has sorted rows; `sorted_rows=True` lets XLA skip the
+    sort inside the segment reduction."""
+    gathered = x[cols] * vals[:, None].astype(x.dtype)
+    out = jax.ops.segment_sum(
+        gathered, rows, num_segments=n_out, indices_are_sorted=sorted_rows
+    )
     if combiner == "sum":
         return out
     counts = jax.ops.segment_sum(
-        jnp.abs(vals), rows, num_segments=n_out
+        jnp.abs(vals), rows, num_segments=n_out,
+        indices_are_sorted=sorted_rows,
     )
     if combiner == "mean":
-        return out / jnp.maximum(counts, 1e-9)[:, None]
+        return out / jnp.maximum(counts, 1e-9)[:, None].astype(out.dtype)
     if combiner == "sqrtn":
         # sqrtn divides by sqrt(sum of squared weights), TF semantics.
-        sq = jax.ops.segment_sum(vals * vals, rows, num_segments=n_out)
-        return out / jnp.maximum(jnp.sqrt(sq), 1e-9)[:, None]
+        sq = jax.ops.segment_sum(
+            vals * vals, rows, num_segments=n_out,
+            indices_are_sorted=sorted_rows,
+        )
+        return out / jnp.maximum(jnp.sqrt(sq), 1e-9)[:, None].astype(out.dtype)
     raise ValueError(f"Unknown combiner {combiner!r}")
 
 
