@@ -63,10 +63,20 @@ def from_csv(
     directed: bool = False,
     sep: str = "\t",
     name: Optional[str] = None,
+    use_native_parser: bool = True,
 ) -> Graph:
     """Load an edge-list file (format of reference `tests/data/small_ppi.tsv`:
-    subject/object/weight/edge_label columns)."""
+    subject/object/weight/edge_label columns). Uses the C++ native parser
+    (`embiggen_tpu.native`) when available, else pandas."""
     import pandas as pd
+
+    if use_native_parser and not path.endswith(".gz"):
+        graph = _from_csv_native(
+            path, source_column, destination_column, weight_column,
+            edge_type_column, directed, sep, name,
+        )
+        if graph is not None:
+            return graph
 
     opener = gzip.open if path.endswith(".gz") else open
     with opener(path, "rt") as f:
@@ -80,6 +90,49 @@ def from_csv(
         edge_type_column=edge_type_column if edge_type_column in cols else None,
         directed=directed,
         name=name or path.rsplit("/", 1)[-1].split(".")[0],
+    )
+
+
+def _from_csv_native(
+    path, source_column, destination_column, weight_column, edge_type_column,
+    directed, sep, name,
+):
+    """C++ parse path; returns None when the native lib or columns are
+    unavailable."""
+    try:
+        from .. import native
+    except ImportError:
+        return None
+    try:
+        with open(path, "r") as f:
+            header = f.readline().rstrip("\n").rstrip("\r").split(sep)
+    except OSError:
+        return None
+    cols = {c: i for i, c in enumerate(header)}
+    if source_column not in cols or destination_column not in cols:
+        return None
+    parsed = native.parse_edge_list(
+        path,
+        sep=sep,
+        skip_header=True,
+        src_col=cols[source_column],
+        dst_col=cols[destination_column],
+        weight_col=cols.get(weight_column, -1) if weight_column else -1,
+        type_col=cols.get(edge_type_column, -1) if edge_type_column else -1,
+    )
+    if parsed is None:
+        return None
+    src, dst, weights, edge_types, node_names, edge_type_names = parsed
+    return Graph.from_edge_arrays(
+        src,
+        dst,
+        n_nodes=len(node_names),
+        weights=weights,
+        edge_types=edge_types,
+        directed=directed,
+        name=name or path.rsplit("/", 1)[-1].split(".")[0],
+        node_names=node_names,
+        edge_type_names=edge_type_names,
     )
 
 

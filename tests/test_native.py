@@ -1,0 +1,74 @@
+"""Native C++ edge-list parser: equivalence with the pandas loader + speed."""
+import os
+import time
+
+import numpy as np
+import pytest
+
+from embiggen_tpu.graph.loaders import from_csv
+
+PPI = os.path.join(os.path.dirname(__file__), "data", "small_ppi.tsv")
+
+
+def test_native_lib_builds():
+    from embiggen_tpu import native
+
+    assert native.get_lib() is not None, "native parser failed to compile"
+
+
+def test_native_matches_pandas():
+    g_native = from_csv(PPI, use_native_parser=True)
+    g_pandas = from_csv(PPI, use_native_parser=False)
+    assert g_native.number_of_nodes == g_pandas.number_of_nodes
+    assert (
+        g_native.number_of_directed_edges == g_pandas.number_of_directed_edges
+    )
+    # same edge set under name mapping
+    names_n = g_native.get_node_names()
+    names_p = g_pandas.get_node_names()
+    assert set(names_n) == set(names_p)
+    to_p = {n: i for i, n in enumerate(names_p)}
+    remap = np.asarray([to_p[n] for n in names_n])
+    src_n = remap[g_native.sources]
+    dst_n = remap[g_native.col_idx]
+    keys_n = np.sort(src_n.astype(np.int64) * len(names_p) + dst_n)
+    keys_p = np.sort(
+        g_pandas.sources.astype(np.int64) * len(names_p) + g_pandas.col_idx
+    )
+    np.testing.assert_array_equal(keys_n, keys_p)
+    # weights follow edges
+    eid = g_pandas.get_edge_ids(src_n[:50], dst_n[:50])
+    np.testing.assert_allclose(
+        g_native.weights[:50], g_pandas.weights[eid], rtol=1e-6
+    )
+
+
+def test_native_parser_speed(tmp_path):
+    """Native parser should beat pandas on a ~200k-line file."""
+    from embiggen_tpu import native
+
+    if native.get_lib() is None:
+        pytest.skip("no native lib")
+    rng = np.random.default_rng(0)
+    path = str(tmp_path / "big.tsv")
+    n = 200_000
+    with open(path, "w") as f:
+        f.write("subject\tobject\tweight\n")
+        src = rng.integers(0, 20_000, n)
+        dst = rng.integers(0, 20_000, n)
+        w = rng.random(n)
+        for i in range(n):
+            f.write(f"n{src[i]}\tn{dst[i]}\t{w[i]:.4f}\n")
+    t0 = time.perf_counter()
+    parsed = native.parse_edge_list(
+        path, sep="\t", skip_header=True, src_col=0, dst_col=1, weight_col=2
+    )
+    t_native = time.perf_counter() - t0
+    assert parsed is not None
+    assert len(parsed[0]) == n
+    import pandas as pd
+
+    t0 = time.perf_counter()
+    pd.read_csv(path, sep="\t")
+    t_pandas = time.perf_counter() - t0
+    assert t_native < t_pandas * 2, (t_native, t_pandas)
