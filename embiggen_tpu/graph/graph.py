@@ -536,6 +536,79 @@ class Graph:
             n_arcs=self.number_of_directed_edges,
         )
 
+    # -------------------------------------------------------------- analysis
+    def connected_components(self) -> Tuple[np.ndarray, int]:
+        """(component_id per node [N], number of components) treating arcs as
+        undirected (union-find with path halving, vectorized passes)."""
+        parent = np.arange(self.number_of_nodes)
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for s, d in zip(self.sources, self.col_idx):
+            rs, rd = find(s), find(d)
+            if rs != rd:
+                parent[rs] = rd
+        roots = np.asarray([find(i) for i in range(self.number_of_nodes)])
+        uniq, comp = np.unique(roots, return_inverse=True)
+        return comp.astype(np.int32), len(uniq)
+
+    @property
+    def number_of_connected_components(self) -> int:
+        return self.connected_components()[1]
+
+    def is_connected(self) -> bool:
+        return self.number_of_connected_components == 1
+
+    def to_dot(self) -> str:
+        """GraphViz dot representation (reference `Graph.to_dot`)."""
+        names = self.get_node_names()
+        kind = "digraph" if self.directed else "graph"
+        arrow = "->" if self.directed else "--"
+        lines = [f"{kind} {{"]
+        seen = set()
+        for s, d in zip(self.sources, self.col_idx):
+            if not self.directed:
+                key = (min(s, d), max(s, d))
+                if key in seen:
+                    continue
+                seen.add(key)
+            lines.append(f'  "{names[s]}" {arrow} "{names[d]}";')
+        lines.append("}")
+        return "\n".join(lines)
+
+    def filter_from_names(
+        self,
+        node_names_to_keep: Optional[Sequence[str]] = None,
+        node_names_to_remove: Optional[Sequence[str]] = None,
+    ) -> "Graph":
+        """Subgraph keeping/removing the named nodes (reference
+        `filter_from_names`)."""
+        keep = np.ones(self.number_of_nodes, dtype=bool)
+        if node_names_to_keep is not None:
+            keep[:] = False
+            keep[self.get_node_ids_from_names(node_names_to_keep)] = True
+        if node_names_to_remove is not None:
+            keep[self.get_node_ids_from_names(node_names_to_remove)] = False
+        ids = np.nonzero(keep)[0]
+        remap = np.full(self.number_of_nodes, -1, dtype=np.int64)
+        remap[ids] = np.arange(len(ids))
+        mask = keep[self.sources] & keep[self.col_idx]
+        return Graph.from_edge_arrays(
+            remap[self.sources[mask]],
+            remap[self.col_idx[mask]],
+            n_nodes=len(ids),
+            weights=None if self.weights is None else self.weights[mask],
+            edge_types=None if self.edge_types is None else self.edge_types[mask],
+            directed=True,
+            directed_flag=self.directed,
+            name=self.name,
+            node_names=self.get_node_names()[ids],
+        )
+
     # -------------------------------------------------------------- reporting
     def __repr__(self) -> str:
         return (
