@@ -56,6 +56,7 @@ class _EdgeGCNBase(AbstractClassifierModel):
         node_type_embedding_size: int = 50,
         use_edge_type_embedding: bool = False,
         edge_type_embedding_size: int = 16,
+        edge_feature_models=None,
         batch_size: int = 1024,
         epochs: int = 200,
         learning_rate: float = 0.001,
@@ -79,6 +80,9 @@ class _EdgeGCNBase(AbstractClassifierModel):
         self._node_type_embedding_size = node_type_embedding_size
         self._use_edge_type_embedding = use_edge_type_embedding
         self._edge_type_embedding_size = edge_type_embedding_size
+        self._edge_feature_models = (
+            list(edge_feature_models) if edge_feature_models else []
+        )
         self._batch_size = batch_size
         self._epochs = epochs
         self._learning_rate = learning_rate
@@ -104,6 +108,7 @@ class _EdgeGCNBase(AbstractClassifierModel):
             "node_type_embedding_size": self._node_type_embedding_size,
             "use_edge_type_embedding": self._use_edge_type_embedding,
             "edge_type_embedding_size": self._edge_type_embedding_size,
+            "edge_feature_models": self._edge_feature_models,
             "batch_size": self._batch_size,
             "epochs": self._epochs,
             "learning_rate": self._learning_rate,
@@ -161,6 +166,17 @@ class _EdgeGCNBase(AbstractClassifierModel):
         edge_dim = edge_ops.output_dim(self._edge_embedding_method, tower_out)
         if self._use_edge_type_embedding:
             edge_dim += self._edge_type_embedding_size
+        # Lazy per-batch edge features (e.g. HyperSketching sketches), fitted
+        # on the support graph; queried inside the jitted step (reference
+        # AbstractEdgeFeature protocol, `abstract_edge_feature.py:49-80`).
+        self._edge_feature_fns = []
+        for ef in self._edge_feature_models:
+            ef.fit(support)
+            self._edge_feature_fns.append(ef.device_feature_fn())
+            edge_dim += sum(
+                int(np.prod(shape))
+                for shape in ef.get_feature_dictionary_shapes().values()
+            )
         head = init_mlp(k_head, [edge_dim] + self._head_units + [self._n_outputs])
         params = {
             "embed": embed_params,
@@ -194,6 +210,8 @@ class _EdgeGCNBase(AbstractClassifierModel):
         dst_tower = params.get("dst_tower", params["src_tower"])
         h_dst = apply_mlp(dst_tower, h[dst], final_activation=jax.nn.relu)
         e = self._combine_fn(h_src, h_dst)
+        for fn in self._edge_feature_fns:
+            e = jnp.concatenate([e, fn(src, dst)], axis=1)
         if self._use_edge_type_embedding:
             et = (
                 edge_types
