@@ -89,13 +89,13 @@ class SiameseEmbedder(AbstractEmbeddingModel):
         steps_per_epoch = max(
             1, graph.number_of_directed_edges // self._batch_size
         )
-        step_fn = functools.partial(self._step, dg)
+        step_fn = self._step
 
-        @functools.partial(jax.jit, donate_argnums=0)
-        def epoch_fn(params, epoch_key, lr):
+        @functools.partial(jax.jit, donate_argnums=1)
+        def epoch_fn(dg, params, epoch_key, lr):
             keys = jax.random.split(epoch_key, steps_per_epoch)
             params, losses = lax.scan(
-                lambda p, k: step_fn(p, k, lr), params, keys
+                lambda p, k: step_fn(dg, p, k, lr), params, keys
             )
             return params, losses.mean()
 
@@ -104,7 +104,9 @@ class SiameseEmbedder(AbstractEmbeddingModel):
             lr = jnp.float32(
                 self._learning_rate * self._learning_rate_decay ** epoch
             )
-            params, last = epoch_fn(params, jax.random.fold_in(key, epoch), lr)
+            params, last = epoch_fn(
+                dg, params, jax.random.fold_in(key, epoch), lr
+            )
         self._last_loss = None if last is None else float(last)
         return self._extract(params, graph)
 

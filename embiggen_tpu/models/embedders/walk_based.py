@@ -163,14 +163,17 @@ class WalkBasedEmbedder(AbstractEmbeddingModel):
         params = self._init_params(graph, key)
         steps_per_epoch = max(1, graph.number_of_nodes // self._batch_size)
 
-        step_fn = functools.partial(self._step, dg)
+        step_fn = self._step
 
-        @functools.partial(jax.jit, donate_argnums=0)
-        def epoch_fn(params, epoch_key, lr):
+        # dg is a jit ARGUMENT (pytree), not a closure constant: captured
+        # device arrays would otherwise be serialized into the program on
+        # remote-compile backends.
+        @functools.partial(jax.jit, donate_argnums=1)
+        def epoch_fn(dg, params, epoch_key, lr):
             keys = jax.random.split(epoch_key, steps_per_epoch)
 
             def body(p, k):
-                return step_fn(p, k, lr)
+                return step_fn(dg, p, k, lr)
 
             params, losses = lax.scan(body, params, keys)
             return params, losses.mean()
@@ -180,7 +183,9 @@ class WalkBasedEmbedder(AbstractEmbeddingModel):
             lr = jnp.float32(
                 self._learning_rate * self._learning_rate_decay ** epoch
             )
-            params, last_loss = epoch_fn(params, jax.random.fold_in(key, epoch), lr)
+            params, last_loss = epoch_fn(
+                dg, params, jax.random.fold_in(key, epoch), lr
+            )
         self._last_loss = None if last_loss is None else float(last_loss)
         return self._extract(params, graph)
 
