@@ -54,12 +54,18 @@ def classification_evaluation_pipeline(
     smoke_test: bool = False,
     random_state: int = 42,
     holdouts_kwargs: Optional[Dict[str, Any]] = None,
+    number_of_workers: Optional[int] = None,
+    worker_id: Optional[int] = None,
     verbose: bool = True,
     **evaluation_kwargs,
 ):
     """Run every model on every graph over `holdouts_number` holdouts and
-    return the tidy metric DataFrame."""
+    return the tidy metric DataFrame. With number_of_workers set, holdouts
+    are round-robin assigned across workers (the reference's SLURM-level
+    parallelism, `abstract_classifier_model.py:2788-2804`)."""
     import pandas as pd
+
+    from ..parallel.distributed import holdout_belongs_to_this_worker
 
     if not isinstance(graphs, (list, tuple)):
         graphs = [graphs]
@@ -72,6 +78,10 @@ def classification_evaluation_pipeline(
         )
         meta = AbstractClassifierModel.run_metadata()
         for holdout_number in range(holdouts_number):
+            if not holdout_belongs_to_this_worker(
+                holdout_number, number_of_workers, worker_id
+            ):
+                continue
             split_cls = models_resolved[0]
             t_split = time.perf_counter()
             train, test = split_cls.split_graph_following_evaluation_schema(
