@@ -6,12 +6,13 @@ Prints ONE JSON line:
   {"metric": "walk_steps_per_s", "value": N, "unit": "steps/s",
    "vs_baseline": R, ...extras}
 
-Measurement methodology: every timed iteration feeds the previous iteration's
-OUTPUT back as input (chained), and the loop ends by pulling a scalar to the
-host — so no execution caching or async dispatch can fake the numbers.
+Measurement methodology: each metric runs K data-dependent iterations INSIDE
+one jit (`lax.scan`), i.e. the production shape of the training loops, and
+the result is forced to the host — so dispatch overhead, execution caching
+and async illusions cannot distort the numbers.
 
 `vs_baseline` compares against a vectorized numpy CPU walk implementation
-measured in the same run (the reference's engine is a CPU library; its Rust
+measured in the same run (the reference engine is a CPU library; its Rust
 walker is faster than numpy but unavailable here — the proxy is recorded in
 `cpu_proxy_steps_per_s`).
 """
@@ -27,22 +28,18 @@ def _build_graph(n_nodes=1_000_000, n_edges=10_000_000, seed=0):
     return erdos_renyi(n_nodes, n_edges, seed=seed)
 
 
-def _time_chained(step, state, iters=5, warmup=2):
-    """step(state, i) -> state; returns seconds/iter with the chain forced to
-    the host at the end."""
+def _run_timed(fn, *args):
+    """Call fn twice (compile, then measure) and force a scalar to host."""
     import jax
 
-    for i in range(warmup):
-        state = step(state, i)
-    jax.block_until_ready(state)
+    out = fn(*args)
+    jax.block_until_ready(out)
     t0 = time.perf_counter()
-    for i in range(iters):
-        state = step(state, warmup + i)
-    jax.block_until_ready(state)
-    # force a real value to the host off the final state
-    leaf = jax.tree_util.tree_leaves(state)[0]
+    out = fn(*args)
+    jax.block_until_ready(out)
+    leaf = jax.tree_util.tree_leaves(out)[0]
     float(np.asarray(leaf).reshape(-1)[0])
-    return (time.perf_counter() - t0) / iters
+    return time.perf_counter() - t0
 
 
 def cpu_walk_proxy(graph, batch=8192, length=32, seed=0):
@@ -66,6 +63,7 @@ def cpu_walk_proxy(graph, batch=8192, length=32, seed=0):
 def main():
     import jax
     import jax.numpy as jnp
+    from jax import lax
 
     from embiggen_tpu.ops.walks import random_walks
     from embiggen_tpu.ops.spmm import spmm
@@ -75,34 +73,45 @@ def main():
     graph = _build_graph()
     dg = graph.device()
     key = jax.random.PRNGKey(0)
+    n_nodes = graph.number_of_nodes
 
-    batch, length = 8192, 128
+    batch, length, k_iters = 8192, 128, 10
 
-    # --- first-order walk throughput (chained: restart from final nodes)
-    def walk_step(state, i):
-        starts, k = state
-        k1, k2 = jax.random.split(k)
-        walks = random_walks(dg, starts, length, k1)
-        return (walks[:, -1], k2)
+    # --- first-order walk throughput: K chained batches inside one jit
+    @jax.jit
+    def walk_chain(dg, starts, k):
+        def body(carry, _):
+            s, kk = carry
+            k1, k2 = jax.random.split(kk)
+            w = random_walks(dg, s, length, k1)
+            return (w[:, -1], k2), None
 
-    starts0 = jnp.arange(batch, dtype=jnp.int32) % graph.number_of_nodes
-    dt = _time_chained(walk_step, (starts0, key), iters=10)
+        carry, _ = lax.scan(body, (starts, k), None, length=k_iters)
+        return carry[0]
+
+    starts0 = jnp.arange(batch, dtype=jnp.int32) % n_nodes
+    dt = _run_timed(walk_chain, dg, starts0, key) / k_iters
     walk_steps_per_s = batch * (length - 1) / dt
 
     # --- second-order (p/q) walk throughput
-    def walk2_step(state, i):
-        starts, k = state
-        k1, k2 = jax.random.split(k)
-        walks = random_walks(
-            dg, starts, 32, k1, return_weight=2.0, explore_weight=0.5,
-            max_neighbours=32,
-        )
-        return (walks[:, -1], k2)
+    @jax.jit
+    def walk2_chain(dg, starts, k):
+        def body(carry, _):
+            s, kk = carry
+            k1, k2 = jax.random.split(kk)
+            w = random_walks(
+                dg, s, 32, k1, return_weight=2.0, explore_weight=0.5,
+                max_neighbours=32,
+            )
+            return (w[:, -1], k2), None
 
-    dt_so = _time_chained(walk2_step, (starts0, key), iters=5, warmup=1)
+        carry, _ = lax.scan(body, (starts, k), None, length=k_iters)
+        return carry[0]
+
+    dt_so = _run_timed(walk2_chain, dg, starts0, key) / k_iters
     walk2_steps_per_s = batch * 31 / dt_so
 
-    # --- fused SkipGram train step throughput (centers/s); params chain
+    # --- fused SkipGram train: K steps scanned inside one jit
     from embiggen_tpu.models.embedders import SkipGram
 
     model = SkipGram(
@@ -110,34 +119,40 @@ def main():
         window_size=5, number_of_negative_samples=10, random_state=0,
     )
     params = model._init_params(graph, key)
-    step = jax.jit(model._step)
 
-    def train_step(state, i):
-        p, k = state
-        k1, k2 = jax.random.split(k)
-        p, loss = step(dg, p, k1, jnp.float32(0.05))
-        return (p, k2)
+    @jax.jit
+    def train_chain(dg, params, k):
+        def body(p, kk):
+            p, loss = model._step(dg, p, kk, jnp.float32(0.05))
+            return p, loss
 
-    dt_train = _time_chained(train_step, (params, key), iters=10)
+        params, losses = lax.scan(
+            body, params, jax.random.split(k, k_iters)
+        )
+        return params, losses
+
+    dt_train = _run_timed(train_chain, dg, params, key) / k_iters
     centers = 1024 * (64 - 10)
     train_centers_per_s = centers / dt_train
 
-    # --- SpMM edges/s (D=128, output chained into next input)
+    # --- SpMM edges/s: K chained multiplies inside one jit
     rows, cols, vals = kernel_coo(graph, "Symmetric Normalized Laplacian")
     rows_d = jnp.asarray(rows, jnp.int32)
     cols_d = jnp.asarray(cols, jnp.int32)
     vals_d = jnp.asarray(vals, jnp.float32)
-    x0 = jax.random.normal(key, (graph.number_of_nodes, 128), jnp.float32)
+    x0 = jax.random.normal(key, (n_nodes, 128), jnp.float32)
+    spmm_iters = 5
 
     @jax.jit
-    def spmm_step(rows, cols, vals, x):
-        out = spmm(rows, cols, vals, x, x.shape[0], "sum")
-        # renormalize so the chain stays finite
-        return out / jnp.maximum(jnp.abs(out).max(), 1e-9)
+    def spmm_chain(rows, cols, vals, x):
+        def body(x, _):
+            out = spmm(rows, cols, vals, x, n_nodes, "sum")
+            return out / jnp.maximum(jnp.abs(out).max(), 1e-9), None
 
-    dt_spmm = _time_chained(
-        lambda x, i: spmm_step(rows_d, cols_d, vals_d, x), x0, iters=5
-    )
+        x, _ = lax.scan(body, x, None, length=spmm_iters)
+        return x
+
+    dt_spmm = _run_timed(spmm_chain, rows_d, cols_d, vals_d, x0) / spmm_iters
     spmm_edges_per_s = graph.number_of_directed_edges / dt_spmm
 
     cpu_proxy = cpu_walk_proxy(graph)
@@ -150,7 +165,7 @@ def main():
                 "unit": "steps/s",
                 "vs_baseline": round(walk_steps_per_s / cpu_proxy, 3),
                 "device": str(dev),
-                "graph": f"ER(n={graph.number_of_nodes},arcs={graph.number_of_directed_edges})",
+                "graph": f"ER(n={n_nodes},arcs={graph.number_of_directed_edges})",
                 "walk2_steps_per_s": round(walk2_steps_per_s),
                 "skipgram_train_centers_per_s": round(train_centers_per_s),
                 "spmm_edges_per_s": round(spmm_edges_per_s),

@@ -20,6 +20,12 @@ import jax
 import jax.numpy as jnp
 
 
+# Edge chunks are sized so the [chunk, D] gather intermediate stays ~1 GB —
+# without chunking, XLA materializes the full [E, D] gather (10 GB at
+# E=20M, D=128) and thrashes HBM.
+_CHUNK_ELEMENTS = 1 << 28
+
+
 @functools.partial(
     jax.jit, static_argnames=("n_out", "combiner", "sorted_rows")
 )
@@ -35,11 +41,41 @@ def spmm(
     """out[r] = combine_{e: rows[e]=r} vals[e] * x[cols[e]]  → [n_out, D].
 
     CSR-derived COO has sorted rows; `sorted_rows=True` lets XLA skip the
-    sort inside the segment reduction."""
-    gathered = x[cols] * vals[:, None].astype(x.dtype)
-    out = jax.ops.segment_sum(
-        gathered, rows, num_segments=n_out, indices_are_sorted=sorted_rows
-    )
+    sort inside the segment reduction. Edges are processed in fixed-size
+    chunks to bound the gather intermediate."""
+    e = rows.shape[0]
+    d = x.shape[1] if x.ndim == 2 else 1
+    chunk = max(1, _CHUNK_ELEMENTS // max(d, 1))
+
+    if e <= chunk:
+        gathered = x[cols] * vals[:, None].astype(x.dtype)
+        out = jax.ops.segment_sum(
+            gathered, rows, num_segments=n_out,
+            indices_are_sorted=sorted_rows,
+        )
+    else:
+        n_chunks = -(-e // chunk)
+        pad = n_chunks * chunk - e
+        # out-of-range row sentinel: dropped by the segment reduction
+        rows_p = jnp.concatenate(
+            [rows, jnp.full((pad,), n_out, rows.dtype)]
+        )
+        cols_p = jnp.concatenate([cols, jnp.zeros((pad,), cols.dtype)])
+        vals_p = jnp.concatenate([vals, jnp.zeros((pad,), vals.dtype)])
+
+        def body(i, out):
+            rs = jax.lax.dynamic_slice(rows_p, (i * chunk,), (chunk,))
+            cs = jax.lax.dynamic_slice(cols_p, (i * chunk,), (chunk,))
+            vs = jax.lax.dynamic_slice(vals_p, (i * chunk,), (chunk,))
+            part = jax.ops.segment_sum(
+                x[cs] * vs[:, None].astype(x.dtype), rs,
+                num_segments=n_out, indices_are_sorted=sorted_rows,
+            )
+            return out + part
+
+        out = jax.lax.fori_loop(
+            0, n_chunks, body, jnp.zeros((n_out, d), x.dtype)
+        )
     if combiner == "sum":
         return out
     counts = jax.ops.segment_sum(
