@@ -249,11 +249,15 @@ class SkipGram(WalkBasedEmbedder):
 
         def loss_fn(w_rows, c_rows, b_rows, neg_emb, neg_b):
             # w_rows, c_rows: [B, L, D]; scores for all (center, context).
+            # Positive target is 1/(2w) per context — exact tf.nn.nce_loss
+            # num_true semantics (see ops/losses.nce_loss).
             scores = jnp.einsum(
                 "bld,bmd->blm", w_rows, c_rows,
                 preferred_element_type=jnp.float32,
             ) + b_rows[:, None, :]
-            pos_loss = (jax.nn.softplus(-scores) * pair_mask[None]).sum()
+            pos_loss = (
+                (jax.nn.softplus(scores) - scores / (2 * w)) * pair_mask[None]
+            ).sum()
             neg_scores = jnp.einsum(
                 "bld,kd->blk", w_rows, neg_emb,
                 preferred_element_type=jnp.float32,

@@ -25,12 +25,15 @@ def nce_loss(
     neg_context: jnp.ndarray,   # [K, D] (shared across batch)
     neg_bias: jnp.ndarray,      # [K]
 ) -> jnp.ndarray:
-    """Noise-contrastive estimation with shared negatives: binary logistic
-    loss, positives label 1, negatives label 0 (TF `tf.nn.nce_loss`
-    semantics with num_true=P)."""
+    """Noise-contrastive estimation with shared negatives — exact
+    `tf.nn.nce_loss` semantics with num_true=P: each positive carries a soft
+    target of 1/P (TF divides the label mass across the true classes), so
+    per-positive loss is softplus(l) - l/P; negatives have target 0.
+    Verified bit-for-bit against TF in tests/test_tf_parity.py."""
+    p = pos_context.shape[1]
     pos_logits = jnp.einsum("nd,npd->np", center, pos_context) + pos_bias
     neg_logits = center @ neg_context.T + neg_bias[None, :]  # [N, K]
-    loss_pos = _softplus(-pos_logits).sum(axis=1)
+    loss_pos = (_softplus(pos_logits) - pos_logits / p).sum(axis=1)
     loss_neg = _softplus(neg_logits).sum(axis=1)
     return (loss_pos + loss_neg).mean()
 
