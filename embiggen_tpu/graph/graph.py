@@ -43,11 +43,12 @@ class DeviceGraph:
     alias_idx: Optional["jax.Array"]   # [E] int32 (intra-row offsets)
     n_nodes: int
     n_arcs: int
+    max_degree: int = 0
 
     def tree_flatten(self):
         children = (self.row_ptr, self.col_idx, self.degrees, self.weights,
                     self.edge_types, self.alias_prob, self.alias_idx)
-        aux = (self.n_nodes, self.n_arcs)
+        aux = (self.n_nodes, self.n_arcs, self.max_degree)
         return children, aux
 
     @classmethod
@@ -534,6 +535,7 @@ class Graph:
             alias_idx=alias_idx,
             n_nodes=self.number_of_nodes,
             n_arcs=self.number_of_directed_edges,
+            max_degree=int(self.degrees.max(initial=0)),
         )
 
     # -------------------------------------------------------------- analysis

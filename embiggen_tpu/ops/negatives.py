@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from ..graph.graph import DeviceGraph
-from .walks import csr_has_edges
+from .walks import _bsearch_iters, csr_has_edges
 
 
 def sample_nodes_scale_free(
@@ -91,9 +91,10 @@ def edge_prediction_mini_batch(
     src, dst = sample_neg(k_neg)
     if avoid_false_negatives:
         for i in range(n_attempts):
-            bad = csr_has_edges(avoid.row_ptr, avoid.col_idx, src, dst) | (
-                src == dst
-            )
+            bad = csr_has_edges(
+                avoid.row_ptr, avoid.col_idx, src, dst,
+                n_iters=_bsearch_iters(avoid),
+            ) | (src == dst)
             k_neg = jax.random.fold_in(k_neg, i)
             new_src, new_dst = sample_neg(k_neg)
             src = jnp.where(bad, new_src, src)

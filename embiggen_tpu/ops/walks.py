@@ -24,6 +24,7 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 from ..graph.graph import DeviceGraph
@@ -32,10 +33,16 @@ _BSEARCH_ITERS = 32  # covers rows up to 2^32 entries
 
 
 def csr_has_edges(
-    row_ptr: jnp.ndarray, col_idx: jnp.ndarray, src: jnp.ndarray, dst: jnp.ndarray
+    row_ptr: jnp.ndarray,
+    col_idx: jnp.ndarray,
+    src: jnp.ndarray,
+    dst: jnp.ndarray,
+    n_iters: int = _BSEARCH_ITERS,
 ) -> jnp.ndarray:
     """Vectorized membership test: is (src[i], dst[i]) an arc? Lower-bound
-    binary search within each CSR row (rows are sorted)."""
+    binary search within each CSR row (rows are sorted). `n_iters` should be
+    ceil(log2(max_degree + 1)) when known — each saved iteration removes one
+    full gather round."""
     n_arcs = col_idx.shape[0]
     lo = row_ptr[src]
     hi = row_ptr[src + 1]
@@ -51,9 +58,16 @@ def csr_has_edges(
         hi = jnp.where(valid & ~go_right, mid, hi)
         return lo, hi
 
-    lo, hi = lax.fori_loop(0, _BSEARCH_ITERS, body, (lo, hi))
+    lo, hi = lax.fori_loop(0, n_iters, body, (lo, hi))
     found = (lo < end) & (col_idx[jnp.clip(lo, 0, max(n_arcs - 1, 0))] == dst)
     return found & (n_arcs > 0)
+
+
+def _bsearch_iters(dg: DeviceGraph) -> int:
+    """Iterations needed for rows up to max_degree (fallback 32)."""
+    if dg.max_degree and dg.max_degree > 0:
+        return max(1, int(np.ceil(np.log2(dg.max_degree + 1))))
+    return _BSEARCH_ITERS
 
 
 def _uniform_offset(key: jnp.ndarray, deg: jnp.ndarray) -> jnp.ndarray:
@@ -114,6 +128,7 @@ def _second_order_step(
         dg.row_ptr, dg.col_idx,
         jnp.broadcast_to(prev[:, None], (b, m)).reshape(-1),
         cands.reshape(-1),
+        n_iters=_bsearch_iters(dg),
     ).reshape(b, m)
     w = jnp.where(
         is_return, return_weight, jnp.where(is_common, 1.0, explore_weight)
