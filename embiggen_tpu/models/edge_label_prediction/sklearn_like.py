@@ -75,8 +75,10 @@ class SklearnEdgeLabelPredictionAdapter(AbstractEdgeLabelPredictionModel):
     def _predict_proba(self, graph: Graph, support: Optional[Graph] = None,
                        **kwargs) -> np.ndarray:
         edge_tr = self._transformer._edge_transformer
+        from ...utils.sklearn_compat import predict_proba_compat
+
         x = edge_tr.transform(graph.sources, graph.col_idx)
-        proba = self._model_instance.predict_proba(x)
+        proba = predict_proba_compat(self._model_instance, x)
         classes = self._model_instance.classes_
         out = np.zeros((x.shape[0], self._n_classes), dtype=np.float64)
         out[:, np.asarray(classes, int)] = proba
@@ -128,6 +130,25 @@ SKLEARN_EDGE_LABEL_MODELS = {
     "Gaussian Naive Bayes": ("sklearn.naive_bayes.GaussianNB", {}),
     "MLP Classifier": (
         "sklearn.neural_network.MLPClassifier", {"max_iter": 500}
+    ),
+    "Hist Gradient Boosting Classifier": (
+        "sklearn.ensemble.HistGradientBoostingClassifier", {}
+    ),
+    "Linear Support Vector Classifier": (
+        "sklearn.svm.LinearSVC",
+        {"class_weight": "balanced", "max_iter": 1000, "dual": "auto"},
+    ),
+    "Nu Support Vector Classifier": ("sklearn.svm.NuSVC", {}),
+    "Radius Neighbour Classifier": (
+        "sklearn.neighbors.RadiusNeighborsClassifier",
+        {"outlier_label": "most_frequent"},
+    ),
+    "Logistic Regression Cross Validator": (
+        "sklearn.linear_model.LogisticRegressionCV", {"max_iter": 1000}
+    ),
+    "Ridge Classifier": ("sklearn.linear_model.RidgeClassifier", {}),
+    "Ridge Classifier Cross Validator": (
+        "sklearn.linear_model.RidgeClassifierCV", {}
     ),
 }
 

@@ -15,6 +15,7 @@ import numpy as np
 from ...graph.graph import Graph
 from ...graph.sampling import sample_negative_graph
 from ...transformers.tasks import EdgePredictionTransformer
+from ...utils.sklearn_compat import predict_proba_compat
 from ..registry import register_model
 from .model import AbstractEdgePredictionModel
 
@@ -122,7 +123,7 @@ class SklearnEdgePredictionAdapter(AbstractEdgePredictionModel):
         edge_tr = self._transformer._graph_transformer._edge_transformer
         for i in range(0, len(src), bs):
             x = edge_tr.transform(src[i: i + bs], dst[i: i + bs])
-            proba = self._model_instance.predict_proba(x)
+            proba = predict_proba_compat(self._model_instance, x)
             out.append(proba[:, -1] if proba.ndim == 2 else proba)
         return np.concatenate(out) if out else np.zeros(0)
 
@@ -189,6 +190,30 @@ SKLEARN_EDGE_PREDICTION_MODELS = {
     "SGD Classifier": (
         "sklearn.linear_model.SGDClassifier",
         {"loss": "log_loss"},
+    ),
+    # The remaining named wrappers of the reference's 13-model sklearn
+    # surface (`edge_prediction_sklearn/*.py` model_name() values).
+    "Hist Gradient Boosting Classifier": (
+        "sklearn.ensemble.HistGradientBoostingClassifier",
+        {},
+    ),
+    "Linear Support Vector Classifier": (
+        "sklearn.svm.LinearSVC",
+        {"class_weight": "balanced", "max_iter": 1000, "dual": "auto"},
+    ),
+    "Nu Support Vector Classifier": ("sklearn.svm.NuSVC", {}),
+    "Radius Neighbour Classifier": (
+        "sklearn.neighbors.RadiusNeighborsClassifier",
+        {"outlier_label": "most_frequent"},
+    ),
+    "Logistic Regression Cross Validator": (
+        "sklearn.linear_model.LogisticRegressionCV",
+        {"max_iter": 1000},
+    ),
+    "Ridge Classifier": ("sklearn.linear_model.RidgeClassifier", {}),
+    "Ridge Classifier Cross Validator": (
+        "sklearn.linear_model.RidgeClassifierCV",
+        {},
     ),
 }
 

@@ -23,13 +23,80 @@ from ..registry import register_model
 HOPE_METRICS = [
     "Jaccard",
     "Neighbours Intersection size",
+    "Ancestors Jaccard",
+    "Ancestors size",
     "Adamic-Adar",
     "Adjacency",
     "Laplacian",
     "Left Normalized Laplacian",
     "Right Normalized Laplacian",
     "Symmetric Normalized Laplacian",
+    "Resnik",
 ]
+
+# Metrics interpreting the graph as a DAG/ontology with arcs child -> parent
+# (reference `hope.py:33-46` ancestors/Resnik modes, computed by ensmallen's
+# `get_ancestors_jaccard_coo_matrix` / `get_shared_ancestors_*` kernels).
+DAG_METRICS = ("Ancestors Jaccard", "Ancestors size", "Resnik")
+
+
+def _ancestor_indicator(graph: Graph):
+    """Sparse boolean Z with Z[v, a] = 1 iff `a` is an ancestor of `v`
+    (including v itself), following arcs child -> parent — the same closure
+    `similarities.DAGResnik.fit` uses."""
+    import scipy.sparse as sp
+
+    n = graph.number_of_nodes
+    rows, cols = [], []
+    for v in range(n):
+        seen = {v}
+        stack = [v]
+        while stack:
+            u = stack.pop()
+            for p in graph.neighbors(u):
+                p = int(p)
+                if p not in seen:
+                    seen.add(p)
+                    stack.append(p)
+        rows.extend([v] * len(seen))
+        cols.extend(seen)
+    z = sp.csr_matrix(
+        (np.ones(len(rows), np.float64), (rows, cols)), shape=(n, n)
+    )
+    return z
+
+
+def _dag_similarity_matrix(graph: Graph, metric: str):
+    import scipy.sparse as sp
+
+    n = graph.number_of_nodes
+    z = _ancestor_indicator(graph)
+    inter = (z @ z.T).tocoo()
+    if metric == "Ancestors size":
+        return inter.tocsr()
+    if metric == "Ancestors Jaccard":
+        sizes = np.asarray(z.sum(axis=1)).reshape(-1)
+        union = sizes[inter.row] + sizes[inter.col] - inter.data
+        data = inter.data / np.maximum(union, 1)
+        return sp.csr_matrix((data, (inter.row, inter.col)), shape=(n, n))
+    # Resnik: IC of the Most Informative Common Ancestor per pair. Process
+    # ancestors in decreasing information content; the first ancestor that
+    # covers a pair sets its score.
+    from ...similarities import DAGResnik
+
+    ic = DAGResnik().fit(graph).get_information_content()
+    r = np.zeros((n, n), np.float64)
+    filled = np.zeros((n, n), bool)
+    zc = z.tocsc()
+    for a in np.argsort(-ic):
+        desc = zc.indices[zc.indptr[a]: zc.indptr[a + 1]]
+        if len(desc) == 0:
+            continue
+        ix = np.ix_(desc, desc)
+        sub = filled[ix]
+        r[ix] = np.where(sub, r[ix], ic[a])
+        filled[ix] = True
+    return sp.csr_matrix(r)
 
 
 def _adjacency(graph: Graph, weighted: bool = False):
@@ -75,6 +142,8 @@ def _similarity_matrix(graph: Graph, metric: str):
     if metric == "Adamic-Adar":
         inv_log = np.where(deg > 1, 1.0 / np.log(np.maximum(deg, 2)), 0.0)
         return (a @ sp.diags(inv_log) @ a.T).tocsr()
+    if metric in DAG_METRICS:
+        return _dag_similarity_matrix(graph, metric)
     raise ValueError(
         f"Unknown HOPE metric {metric!r}; available: {HOPE_METRICS}"
     )
@@ -89,6 +158,7 @@ class HOPE(AbstractEmbeddingModel):
         self,
         embedding_size: int = 100,
         metric: str = "Neighbours Intersection size",
+        root_node_name: Optional[str] = None,
         enable_cache: bool = False,
     ):
         if metric not in HOPE_METRICS:
@@ -96,6 +166,10 @@ class HOPE(AbstractEmbeddingModel):
                 f"Unknown HOPE metric {metric!r}; available: {HOPE_METRICS}"
             )
         self._metric = metric
+        # Accepted for reference API parity (`hope.py` root_node_name); the
+        # DAG metrics here derive ancestors from the arc closure, so the
+        # root is implicit, but we validate it exists when given.
+        self._root_node_name = root_node_name
         super().__init__(
             embedding_size=embedding_size, enable_cache=enable_cache,
             random_state=None,
@@ -110,7 +184,11 @@ class HOPE(AbstractEmbeddingModel):
         return "HOPE"
 
     def parameters(self) -> Dict[str, Any]:
-        return {**super().parameters(), "metric": self._metric}
+        return {
+            **super().parameters(),
+            "metric": self._metric,
+            "root_node_name": self._root_node_name,
+        }
 
     @classmethod
     def smoke_test_parameters(cls) -> Dict[str, Any]:
@@ -119,6 +197,12 @@ class HOPE(AbstractEmbeddingModel):
     def _fit_transform(self, graph: Graph) -> EmbeddingResult:
         from scipy.sparse.linalg import svds
 
+        if self._root_node_name is not None:
+            if self._root_node_name not in graph.node_name_to_id:
+                raise ValueError(
+                    f"Root node {self._root_node_name!r} not in graph "
+                    f"{graph.name}."
+                )
         sim = _similarity_matrix(graph, self._metric)
         k = min(self.embedding_size, graph.number_of_nodes - 1)
         u, s, vt = svds(sim, k=k)

@@ -73,8 +73,14 @@ class SklearnNodeLabelPredictionAdapter(AbstractNodeLabelPredictionModel):
 
     def _predict_proba(self, graph: Graph, support: Optional[Graph] = None,
                        **kwargs) -> np.ndarray:
+        from ...utils.sklearn_compat import predict_proba_compat
+
         x = self._feats
-        proba = self._model_instance.predict_proba(x)
+        proba = (
+            self._model_instance.predict_proba(x)
+            if self._multilabel
+            else predict_proba_compat(self._model_instance, x)
+        )
         if self._multilabel:
             # list of [N, 2] per class -> [N, n_classes] positive-class prob
             return np.stack([p[:, -1] for p in proba], axis=1)
@@ -130,6 +136,25 @@ SKLEARN_NODE_LABEL_MODELS = {
     "Gaussian Naive Bayes": ("sklearn.naive_bayes.GaussianNB", {}),
     "MLP Classifier": (
         "sklearn.neural_network.MLPClassifier", {"max_iter": 500}
+    ),
+    "Hist Gradient Boosting Classifier": (
+        "sklearn.ensemble.HistGradientBoostingClassifier", {}
+    ),
+    "Linear Support Vector Classifier": (
+        "sklearn.svm.LinearSVC",
+        {"class_weight": "balanced", "max_iter": 1000, "dual": "auto"},
+    ),
+    "Nu Support Vector Classifier": ("sklearn.svm.NuSVC", {}),
+    "Radius Neighbour Classifier": (
+        "sklearn.neighbors.RadiusNeighborsClassifier",
+        {"outlier_label": "most_frequent"},
+    ),
+    "Logistic Regression Cross Validator": (
+        "sklearn.linear_model.LogisticRegressionCV", {"max_iter": 1000}
+    ),
+    "Ridge Classifier": ("sklearn.linear_model.RidgeClassifier", {}),
+    "Ridge Classifier Cross Validator": (
+        "sklearn.linear_model.RidgeClassifierCV", {}
     ),
 }
 
