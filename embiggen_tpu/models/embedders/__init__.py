@@ -2,6 +2,31 @@ from .walk_based import CBOW, DeepWalkCBOW, DeepWalkSkipGram, SkipGram, WalkBase
 from .line import FirstOrderLINE, SecondOrderLINE
 from .siamese import SiameseEmbedder, StructuredEmbedding, TransE, TransH, Unstructured
 from .glove import DeepWalkGloVe, GloVe
+from .kge import (
+    KGE_MODELS,
+    AutoSF,
+    BoxE,
+    ComplEx,
+    ConvE,
+    CrossE,
+    DistMA,
+    DistMult,
+    ERMLP,
+    ERMLPE,
+    HolE,
+    KGEModel,
+    NodePiece,
+    PairRE,
+    ProjE,
+    QuatE,
+    RESCAL,
+    RotatE,
+    TorusE,
+    TransD,
+    TransF,
+    TransR,
+    TuckER,
+)
 from .walklets import WalkletsCBOW, WalkletsGloVe, WalkletsSkipGram
 from .spine import (
     RUBICONE,

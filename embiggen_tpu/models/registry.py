@@ -79,6 +79,12 @@ def get_models_dataframe():
     `get_models_dataframe`, `abstract_model.py:763-836`)."""
     import pandas as pd
 
+    def _cap(cls, name):
+        try:
+            return bool(getattr(cls, name)())
+        except Exception:
+            return None
+
     rows = []
     for task, models in MODELS_LIBRARY.items():
         for model, libs in models.items():
@@ -88,9 +94,25 @@ def get_models_dataframe():
                         "task_name": task,
                         "model_name": model,
                         "library_name": lib,
-                        "requires_node_types": cls().requires_node_types()
-                        if not cls.__abstractmethods__
-                        else None,
+                        "requires_node_types": _cap(
+                            cls, "requires_node_types"
+                        ),
+                        "requires_edge_types": _cap(
+                            cls, "requires_edge_types"
+                        ),
+                        "requires_edge_weights": _cap(
+                            cls, "requires_edge_weights"
+                        ),
+                        "can_use_node_types": _cap(
+                            cls, "can_use_node_types"
+                        ),
+                        "can_use_edge_types": _cap(
+                            cls, "can_use_edge_types"
+                        ),
+                        "can_use_edge_weights": _cap(
+                            cls, "can_use_edge_weights"
+                        ),
+                        "is_stochastic": _cap(cls, "is_stochastic"),
                     }
                 )
     return pd.DataFrame(rows)
