@@ -1,6 +1,18 @@
 from .walk_based import CBOW, DeepWalkCBOW, DeepWalkSkipGram, SkipGram, WalkBasedEmbedder
 from .line import FirstOrderLINE, SecondOrderLINE
 from .siamese import SiameseEmbedder, StructuredEmbedding, TransE, TransH, Unstructured
+from .factorization import (
+    FACTORIZATION_MODELS,
+    MNMF,
+    NMFADMM,
+    NNSED,
+    BoostNE,
+    GraRep,
+    NetMF,
+    NodeSketch,
+    RandNE,
+    Role2Vec,
+)
 from .glove import DeepWalkGloVe, GloVe
 from .kge import (
     KGE_MODELS,
