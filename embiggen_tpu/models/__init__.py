@@ -12,6 +12,9 @@ from . import gcn
 from . import edge_prediction
 from . import node_label_prediction
 from . import edge_label_prediction
+from . import feature_preprocessors
+from . import edge_features
+from . import stub
 
 __all__ = [
     "AbstractModel", "AbstractEmbeddingModel", "AbstractClassifierModel",

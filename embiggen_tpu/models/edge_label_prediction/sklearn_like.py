@@ -126,7 +126,7 @@ SKLEARN_EDGE_LABEL_MODELS = {
     ),
     "AdaBoost Classifier": ("sklearn.ensemble.AdaBoostClassifier", {}),
     "Bagging Classifier": ("sklearn.ensemble.BaggingClassifier", {}),
-    "K-Neighbours Classifier": ("sklearn.neighbors.KNeighborsClassifier", {}),
+    "K-Neighbour Classifier": ("sklearn.neighbors.KNeighborsClassifier", {}),
     "Gaussian Naive Bayes": ("sklearn.naive_bayes.GaussianNB", {}),
     "MLP Classifier": (
         "sklearn.neural_network.MLPClassifier", {"max_iter": 500}

@@ -178,7 +178,7 @@ SKLEARN_EDGE_PREDICTION_MODELS = {
     ),
     "AdaBoost Classifier": ("sklearn.ensemble.AdaBoostClassifier", {}),
     "Bagging Classifier": ("sklearn.ensemble.BaggingClassifier", {}),
-    "K-Neighbours Classifier": (
+    "K-Neighbour Classifier": (
         "sklearn.neighbors.KNeighborsClassifier",
         {},
     ),

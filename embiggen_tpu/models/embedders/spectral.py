@@ -283,7 +283,7 @@ class GeometricLaplacianEigenmaps(AbstractEmbeddingModel):
 
     @classmethod
     def model_name(cls) -> str:
-        return "Geometric Laplacian Eigenmaps"
+        return "GLEE"
 
     @classmethod
     def smoke_test_parameters(cls) -> Dict[str, Any]:

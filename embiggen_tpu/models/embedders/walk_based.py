@@ -440,3 +440,16 @@ class DeepWalkCBOW(_FixedPQMixin, CBOW):
     @classmethod
     def model_name(cls) -> str:
         return "DeepWalk CBOW"
+
+
+@register_model
+class Node2Vec(SkipGram):
+    """Generic "Node2Vec" — the model name the reference registers from its
+    PecanPy, fastnode2vec and PyTorch Geometric adapters
+    (`pecanpy_embedders/node2vec.py`, `fastnode2vec_embedders/node2vec.py`,
+    `pytorch_geometric/node2vec.py`), all of which train SkipGram over
+    p/q-biased second-order walks. Here it is the native fused SkipGram."""
+
+    @classmethod
+    def model_name(cls) -> str:
+        return "Node2Vec"

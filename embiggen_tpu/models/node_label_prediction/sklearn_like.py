@@ -132,10 +132,16 @@ SKLEARN_NODE_LABEL_MODELS = {
     ),
     "AdaBoost Classifier": ("sklearn.ensemble.AdaBoostClassifier", {}),
     "Bagging Classifier": ("sklearn.ensemble.BaggingClassifier", {}),
-    "K-Neighbours Classifier": ("sklearn.neighbors.KNeighborsClassifier", {}),
+    "K-Neighbour Classifier": ("sklearn.neighbors.KNeighborsClassifier", {}),
     "Gaussian Naive Bayes": ("sklearn.naive_bayes.GaussianNB", {}),
     "MLP Classifier": (
         "sklearn.neural_network.MLPClassifier", {"max_iter": 500}
+    ),
+    # The reference registers a second MLPClassifier wrapper under the name
+    # "MLP Regression" for node-label prediction only (multilabel-capable;
+    # `node_label_prediction_sklearn/mlp_node_label_prediction.py:126`).
+    "MLP Regression": (
+        "sklearn.neural_network.MLPClassifier", {"max_iter": 200}
     ),
     "Hist Gradient Boosting Classifier": (
         "sklearn.ensemble.HistGradientBoostingClassifier", {}

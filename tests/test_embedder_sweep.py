@@ -26,7 +26,13 @@ def _typed_weighted_karate():
 
 
 GRAPH = _typed_weighted_karate()
-EMBEDDERS = sorted(MODELS_LIBRARY["Node Embedding"])
+# Stub models (e.g. "Non Existent Model") have no TPU implementation; the
+# stub machinery has its own tests in test_registry_parity.py.
+EMBEDDERS = sorted(
+    name
+    for name, libs in MODELS_LIBRARY["Node Embedding"].items()
+    if "TPU" in libs
+)
 
 
 @pytest.mark.parametrize("model_name", EMBEDDERS)
@@ -42,6 +48,7 @@ def test_embedder_smoke(model_name):
         result.node_embeddings
         + result.edge_type_embeddings
         + result.node_type_embeddings
+        + result.edge_embeddings  # HyperSketching emits edge features
     )
     assert embeddings, model_name
     for emb in result.node_embeddings:
