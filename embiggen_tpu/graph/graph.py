@@ -80,30 +80,41 @@ def build_alias_tables(
     Rust walk kernel (reference `embiggen/sequences/node2vec_sequence.py:190-203`
     delegates to `graph.node2vec`).
     """
+    from .. import native
+
+    row_ptr = np.asarray(row_ptr, dtype=np.int64)
+    weights = np.asarray(weights, dtype=np.float32)
+    got = native.alias_tables(row_ptr, weights)
+    if got is not None:
+        return got
+
+    # Pure-numpy fallback: uniform rows (the common case) resolve fully
+    # vectorized; only rows with genuinely non-uniform weights run the
+    # two-stack pairing loop.
     n_edges = weights.shape[0]
-    prob = np.zeros(n_edges, dtype=np.float32)
+    prob = np.ones(n_edges, dtype=np.float32)
     alias = np.zeros(n_edges, dtype=np.int32)
     degrees = np.diff(row_ptr)
-    # Normalize per row: scaled = w * deg / sum(w)
     row_of_edge = np.repeat(np.arange(len(degrees)), degrees)
     row_sums = np.zeros(len(degrees), dtype=np.float64)
     np.add.at(row_sums, row_of_edge, weights.astype(np.float64))
     safe = np.where(row_sums == 0, 1.0, row_sums)
     scaled = weights.astype(np.float64) * degrees[row_of_edge] / safe[row_of_edge]
 
-    # Classic two-stack alias build, per row (python loop over rows only for the
-    # small/large pairing; rows are independent). For speed, loop is in numpy
-    # per-row via arrays; rows with uniform weights short-circuit.
-    for r in np.nonzero(degrees > 0)[0]:
+    # identity alias per edge (intra-row offsets), valid for uniform rows
+    row_start = row_ptr[:-1]
+    alias[:] = (
+        np.arange(n_edges, dtype=np.int64) - np.repeat(row_start, degrees)
+    ).astype(np.int32)
+
+    non_uniform_edges = np.abs(scaled - 1.0) > 1e-9
+    rows_to_fix = np.unique(row_of_edge[non_uniform_edges])
+    for r in rows_to_fix:
         s, e = row_ptr[r], row_ptr[r + 1]
         p = scaled[s:e].copy()
         d = e - s
         pr = prob[s:e]
         al = alias[s:e]
-        if np.allclose(p, 1.0):
-            pr[:] = 1.0
-            al[:] = np.arange(d)
-            continue
         small = [i for i in range(d) if p[i] < 1.0]
         large = [i for i in range(d) if p[i] >= 1.0]
         while small and large:
@@ -269,47 +280,40 @@ class Graph:
         return self.col_idx[self.row_ptr[node]: self.row_ptr[node + 1]]
 
     def has_edges(self, src: np.ndarray, dst: np.ndarray) -> np.ndarray:
-        """Vectorized membership test via per-row binary search."""
+        """Vectorized membership test: one searchsorted over the sorted
+        encoded arc keys for the whole query batch (O((B) log E))."""
         src = np.asarray(src)
         dst = np.asarray(dst)
-        starts = self.row_ptr[src]
-        ends = self.row_ptr[src + 1]
-        # Searchsorted over the full col_idx using row offsets.
-        pos = np.empty(len(src), dtype=np.int64)
-        for i in range(len(src)):  # fallback loop replaced below for big arrays
-            pos[i] = np.searchsorted(self.col_idx[starts[i]:ends[i]], dst[i])
-        found = (starts + pos < ends) & (
-            self.col_idx[np.minimum(starts + pos, len(self.col_idx) - 1)] == dst
-        )
-        return found & (ends > starts)
-
-    def has_edges_fast(self, src: np.ndarray, dst: np.ndarray) -> np.ndarray:
-        """O((E+B) log) membership using sorted encoded arc keys."""
         keys = self._sorted_arc_keys
+        if len(keys) == 0:
+            return np.zeros(len(src), dtype=bool)
         q = src.astype(np.int64) * self.number_of_nodes + dst.astype(np.int64)
-        idx = np.searchsorted(keys, q)
-        idx = np.minimum(idx, len(keys) - 1) if len(keys) else idx
-        return (len(keys) > 0) & (keys[idx] == q)
+        idx = np.minimum(np.searchsorted(keys, q), len(keys) - 1)
+        return keys[idx] == q
+
+    # kept as an alias: earlier call sites distinguish the two paths
+    has_edges_fast = has_edges
 
     @cached_property
     def _sorted_arc_keys(self) -> np.ndarray:
-        return np.sort(
+        # CSR invariant: sources are non-decreasing and col_idx is sorted per
+        # row, so the encoded keys are already sorted — no sort needed.
+        return (
             self.sources.astype(np.int64) * self.number_of_nodes
             + self.col_idx.astype(np.int64)
         )
 
     def get_edge_ids(self, src: np.ndarray, dst: np.ndarray) -> np.ndarray:
-        """Arc index for (src, dst), -1 if absent."""
+        """Arc index for (src, dst), -1 if absent (vectorized searchsorted
+        over the sorted arc keys, which index arcs in CSR order)."""
         src = np.asarray(src)
         dst = np.asarray(dst)
-        out = np.full(len(src), -1, dtype=np.int64)
-        starts = self.row_ptr[src]
-        ends = self.row_ptr[src + 1]
-        for i in range(len(src)):
-            j = np.searchsorted(self.col_idx[starts[i]:ends[i]], dst[i])
-            if starts[i] + j < ends[i] and self.col_idx[starts[i] + j] == dst[i]:
-                out[i] = starts[i] + j
-        return out
+        keys = self._sorted_arc_keys
+        if len(keys) == 0:
+            return np.full(len(src), -1, dtype=np.int64)
+        q = src.astype(np.int64) * self.number_of_nodes + dst.astype(np.int64)
+        idx = np.minimum(np.searchsorted(keys, q), len(keys) - 1)
+        return np.where(keys[idx] == q, idx, -1)
 
     # ------------------------------------------------------------- transforms
     def sort_by_decreasing_outbound_node_degree(self) -> "Graph":
@@ -541,21 +545,45 @@ class Graph:
     # -------------------------------------------------------------- analysis
     def connected_components(self) -> Tuple[np.ndarray, int]:
         """(component_id per node [N], number of components) treating arcs as
-        undirected (union-find with path halving, vectorized passes)."""
-        parent = np.arange(self.number_of_nodes)
+        undirected. Runs scipy.sparse.csgraph (C) when available, else the
+        native C++ union-find, else vectorized label propagation — all scale
+        to the multi-million-arc bench graphs."""
+        n = self.number_of_nodes
+        try:
+            from scipy.sparse import csr_matrix
+            from scipy.sparse.csgraph import connected_components as _cc
 
-        def find(x):
-            while parent[x] != x:
-                parent[x] = parent[parent[x]]
-                x = parent[x]
-            return x
+            mat = csr_matrix(
+                (
+                    np.ones(self.number_of_directed_edges, np.int8),
+                    self.col_idx,
+                    self.row_ptr,
+                ),
+                shape=(n, n),
+            )
+            n_comp, labels = _cc(mat, directed=False)
+            return labels.astype(np.int32), int(n_comp)
+        except ImportError:
+            pass
+        from .. import native
 
-        for s, d in zip(self.sources, self.col_idx):
-            rs, rd = find(s), find(d)
-            if rs != rd:
-                parent[rs] = rd
-        roots = np.asarray([find(i) for i in range(self.number_of_nodes)])
-        uniq, comp = np.unique(roots, return_inverse=True)
+        got = native.native_connected_components(self.sources, self.col_idx, n)
+        if got is not None:
+            comp, n_comp = got
+            return comp, n_comp
+        # Vectorized label propagation: O(E) per pass, O(diameter) passes.
+        labels = np.arange(n, dtype=np.int64)
+        src, dst = self.sources, self.col_idx
+        while True:
+            new = labels.copy()
+            np.minimum.at(new, src, labels[dst])
+            np.minimum.at(new, dst, labels[src])
+            # pointer-jump to accelerate convergence
+            new = new[new]
+            if np.array_equal(new, labels):
+                break
+            labels = new
+        uniq, comp = np.unique(labels, return_inverse=True)
         return comp.astype(np.int32), len(uniq)
 
     @property

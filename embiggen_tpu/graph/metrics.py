@@ -25,24 +25,41 @@ EDGE_METRIC_NAMES = [
 def _neighbour_intersections(
     graph: Graph, src: np.ndarray, dst: np.ndarray
 ) -> Dict[str, np.ndarray]:
-    """For each query pair, reduce over common neighbours. Returns sums needed
-    by all metrics in one pass."""
+    """For each query pair, reduce over common neighbours — fully vectorized:
+    expand the lower-degree endpoint's neighbour list per pair, test
+    membership in the other endpoint's row with one batched searchsorted over
+    the sorted arc keys, then bincount-reduce per pair. O(sum min-degree ·
+    log E) total, no per-pair Python loop."""
     deg = graph.degrees.astype(np.float64)
     inv_log_deg = np.where(deg > 1, 1.0 / np.log(np.maximum(deg, 2)), 0.0)
     inv_deg = np.where(deg > 0, 1.0 / np.maximum(deg, 1), 0.0)
 
     n_q = len(src)
-    aa = np.zeros(n_q)
-    ra = np.zeros(n_q)
-    inter = np.zeros(n_q)
-    for i in range(n_q):
-        a = graph.neighbors(int(src[i]))
-        b = graph.neighbors(int(dst[i]))
-        common = np.intersect1d(a, b, assume_unique=True)
-        inter[i] = len(common)
-        if len(common):
-            aa[i] = inv_log_deg[common].sum()
-            ra[i] = inv_deg[common].sum()
+    if n_q == 0:
+        z = np.zeros(0)
+        return {"intersection": z, "adamic_adar": z, "resource_allocation": z}
+    degs = graph.degrees
+    # Intersection is symmetric: expand the cheaper endpoint.
+    swap = degs[dst] < degs[src]
+    a = np.where(swap, dst, src)
+    b = np.where(swap, src, dst)
+    counts = degs[a].astype(np.int64)
+    total = int(counts.sum())
+    if total == 0:
+        z = np.zeros(n_q)
+        return {"intersection": z, "adamic_adar": z, "resource_allocation": z}
+    pair_of = np.repeat(np.arange(n_q, dtype=np.int64), counts)
+    # Global CSR index of every expanded neighbour slot.
+    starts = graph.row_ptr[a]
+    ends = np.cumsum(counts)
+    local = np.arange(total, dtype=np.int64) - np.repeat(ends - counts, counts)
+    cand = graph.col_idx[np.repeat(starts, counts) + local]
+    member = graph.has_edges(np.repeat(b, counts), cand)
+    cm = cand[member]
+    pm = pair_of[member]
+    inter = np.bincount(pm, minlength=n_q).astype(np.float64)
+    aa = np.bincount(pm, weights=inv_log_deg[cm], minlength=n_q)
+    ra = np.bincount(pm, weights=inv_deg[cm], minlength=n_q)
     return {"intersection": inter, "adamic_adar": aa, "resource_allocation": ra}
 
 

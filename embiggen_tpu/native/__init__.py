@@ -32,13 +32,16 @@ class _ParsedEdgeList(ctypes.Structure):
     ]
 
 
+_SOURCES = ("edge_list_parser.cpp", "graph_algos.cpp")
+
+
 def _build() -> bool:
-    src = os.path.join(_HERE, "edge_list_parser.cpp")
+    srcs = [os.path.join(_HERE, s) for s in _SOURCES]
     try:
         subprocess.run(
             [
                 "g++", "-O3", "-march=native", "-shared", "-fPIC",
-                "-std=c++17", src, "-o", _LIB_PATH,
+                "-std=c++17", *srcs, "-o", _LIB_PATH, "-lpthread",
             ],
             check=True,
             capture_output=True,
@@ -53,9 +56,10 @@ def get_lib() -> Optional[ctypes.CDLL]:
     global _lib
     if _lib is not None:
         return _lib
-    if not os.path.exists(_LIB_PATH) or (
+    if not os.path.exists(_LIB_PATH) or any(
         os.path.getmtime(_LIB_PATH)
-        < os.path.getmtime(os.path.join(_HERE, "edge_list_parser.cpp"))
+        < os.path.getmtime(os.path.join(_HERE, s))
+        for s in _SOURCES
     ):
         if not _build():
             return None
@@ -69,8 +73,62 @@ def get_lib() -> Optional[ctypes.CDLL]:
         ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
     ]
     lib.free_parsed_edge_list.argtypes = [ctypes.POINTER(_ParsedEdgeList)]
+    lib.build_alias_tables.restype = None
+    lib.build_alias_tables.argtypes = [
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_int32),
+    ]
+    lib.connected_components.restype = ctypes.c_int64
+    lib.connected_components.argtypes = [
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int64, ctypes.c_int64, ctypes.POINTER(ctypes.c_int32),
+    ]
     _lib = lib
     return _lib
+
+
+def alias_tables(row_ptr: np.ndarray, weights: np.ndarray):
+    """Native Walker alias-table construction over all CSR rows at once.
+    Returns (prob[E] f32, alias[E] int32) or None if the lib is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    row_ptr = np.ascontiguousarray(row_ptr, dtype=np.int64)
+    weights = np.ascontiguousarray(weights, dtype=np.float32)
+    e = weights.shape[0]
+    prob = np.empty(e, dtype=np.float32)
+    alias = np.empty(e, dtype=np.int32)
+    lib.build_alias_tables(
+        row_ptr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ctypes.c_int64(row_ptr.shape[0] - 1),
+        weights.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ctypes.c_int64(e),
+        prob.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        alias.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    return prob, alias
+
+
+def native_connected_components(
+    sources: np.ndarray, destinations: np.ndarray, n_nodes: int
+):
+    """Union-find components over an arc list. Returns (comp[N] int32,
+    n_components) or None if the lib is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    src = np.ascontiguousarray(sources, dtype=np.int32)
+    dst = np.ascontiguousarray(destinations, dtype=np.int32)
+    comp = np.empty(n_nodes, dtype=np.int32)
+    n = lib.connected_components(
+        src.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        dst.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ctypes.c_int64(src.shape[0]),
+        ctypes.c_int64(n_nodes),
+        comp.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    return comp, int(n)
 
 
 def parse_edge_list(

@@ -75,6 +75,19 @@ def subtract(src, dst):
     return src - dst
 
 
+def l1_norm(edge_embedding):
+    """Row-wise L1 norm of an edge embedding → [B, 1] (reference
+    `get_l1_norm_edge_embedding`, `edge_transformer.py:107-122`)."""
+    return jnp.sum(jnp.abs(edge_embedding), axis=-1, keepdims=True)
+
+
+def l2_norm(edge_embedding):
+    """Row-wise L2 norm of an edge embedding → [B, 1] (reference
+    `get_l2_norm_edge_embedding`, `edge_transformer.py:176-189`; used by the
+    reference to normalize cosine similarity)."""
+    return jnp.sqrt(jnp.sum(edge_embedding ** 2, axis=-1, keepdims=True))
+
+
 def dot(src, dst):
     return jnp.sum(src * dst, axis=-1, keepdims=True)
 

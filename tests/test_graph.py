@@ -245,3 +245,65 @@ def test_relabel_preserves_node_types(er_graph):
     oh_new = s.get_one_hot_encoded_node_types()
     order = np.argsort(-er_graph.degrees, kind="stable")
     np.testing.assert_array_equal(oh_new, oh_old[order])
+
+
+def test_device_edge_metrics_match_host(ppi):
+    """On-device edge metrics (ops/edge_metrics.py) match the host path."""
+    import jax.numpy as jnp
+
+    from embiggen_tpu.ops.edge_metrics import edge_metrics as device_metrics
+
+    rng = np.random.default_rng(3)
+    idx = rng.integers(0, ppi.number_of_directed_edges, size=64)
+    src = ppi.sources[idx]
+    dst = ppi.col_idx[idx]
+    host = edge_metrics(ppi, src, dst)
+    cap = int(ppi.degrees.max())
+    dev = np.asarray(
+        device_metrics(ppi.device(), jnp.asarray(src), jnp.asarray(dst), cap=cap)
+    )
+    np.testing.assert_allclose(dev, host, atol=1e-4)
+
+
+def test_vectorized_edge_ids_and_membership(ppi):
+    """get_edge_ids / has_edges are batched searchsorted (no per-query loop)."""
+    ids = ppi.get_edge_ids(ppi.sources, ppi.col_idx)
+    np.testing.assert_array_equal(ids, np.arange(ppi.number_of_directed_edges))
+    # shuffled queries + guaranteed non-edges
+    rng = np.random.default_rng(0)
+    perm = rng.permutation(ppi.number_of_directed_edges)[:500]
+    np.testing.assert_array_equal(
+        ppi.get_edge_ids(ppi.sources[perm], ppi.col_idx[perm]), perm
+    )
+    non_src = ppi.sources[perm]
+    non_dst = ppi.col_idx[perm]
+    mask = ~ppi.has_edges(non_dst, non_src)  # reversed arcs not all present
+    assert ppi.has_edges(ppi.sources[perm], ppi.col_idx[perm]).all()
+    assert (ppi.get_edge_ids(non_dst[mask], non_src[mask]) == -1).all()
+
+
+def test_connected_components_scale():
+    """Components on a 100k-node graph resolve in well under a second and
+    find planted components exactly."""
+    import time
+
+    parts = []
+    offset = 0
+    for i in range(3):
+        g = erdos_renyi(30_000, 150_000, seed=i)
+        parts.append((g.sources + offset, g.col_idx + offset))
+        offset += g.number_of_nodes
+    src = np.concatenate([p[0] for p in parts])
+    dst = np.concatenate([p[1] for p in parts])
+    big = Graph.from_edge_arrays(src, dst, n_nodes=offset, directed=True)
+    t0 = time.time()
+    comp, n = big.connected_components()
+    assert time.time() - t0 < 5.0
+    # the three ER blocks never merge (plus a handful of isolated nodes)
+    assert 3 <= n < 30
+    assert len({comp[0], comp[30_000], comp[60_000]}) == 3
+    # each block's giant component covers almost all of it
+    for b in range(3):
+        block = comp[b * 30_000 : (b + 1) * 30_000]
+        top = np.bincount(block).max()
+        assert top > 29_900
