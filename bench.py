@@ -71,7 +71,7 @@ def main():
     from jax import lax
 
     from embiggen_tpu.ops.walks import random_walks
-    from embiggen_tpu.ops.spmm import spmm
+    from embiggen_tpu.ops.spmm import pad_coo, spmm, spmm_padded
     from embiggen_tpu.graph import kernel_coo
 
     dev = jax.devices()[0]
@@ -140,16 +140,35 @@ def main():
     centers = 1024 * (64 - 10)
     train_centers_per_s = centers / dt_train
 
-    # --- SpMM edges/s: K chained multiplies inside one jit
+    # --- SpMM edges/s: K chained multiplies inside one jit, through the
+    # production bucketed-ELLPACK path GCNEncoder uses (spmm_padded). The
+    # slow COO segment-sum path is also measured for reference.
     rows, cols, vals = kernel_coo(graph, "Symmetric Normalized Laplacian")
-    rows_d = jnp.asarray(rows, jnp.int32)
-    cols_d = jnp.asarray(cols, jnp.int32)
-    vals_d = jnp.asarray(vals, jnp.float32)
+    pk = pad_coo(rows, cols, vals, n_nodes)
     x0 = jax.random.normal(key, (n_nodes, 128), jnp.float32)
     spmm_iters = 5
 
     @jax.jit
-    def spmm_chain(rows, cols, vals, x):
+    def spmm_pad_chain(pk, x):
+        def body(x, _):
+            out = spmm_padded(pk, x, "sum")
+            return out / jnp.maximum(jnp.abs(out).max(), 1e-9), None
+
+        x, _ = lax.scan(body, x, None, length=spmm_iters)
+        return x
+
+    dt_spmm = _run_timed(spmm_pad_chain, pk, x0) / spmm_iters
+    spmm_edges_per_s = graph.number_of_directed_edges / dt_spmm
+    # effective HBM traffic of the gather-contract: ~N*K*D*4 bytes/pass
+    pad_elems = sum(int(np.prod(c.shape)) for c in pk.bucket_cols)
+    spmm_gbytes_per_s = pad_elems * 128 * 4 * 2 / dt_spmm / 1e9
+
+    rows_d = jnp.asarray(rows, jnp.int32)
+    cols_d = jnp.asarray(cols, jnp.int32)
+    vals_d = jnp.asarray(vals, jnp.float32)
+
+    @jax.jit
+    def spmm_coo_chain(rows, cols, vals, x):
         def body(x, _):
             out = spmm(rows, cols, vals, x, n_nodes, "sum")
             return out / jnp.maximum(jnp.abs(out).max(), 1e-9), None
@@ -157,8 +176,8 @@ def main():
         x, _ = lax.scan(body, x, None, length=spmm_iters)
         return x
 
-    dt_spmm = _run_timed(spmm_chain, rows_d, cols_d, vals_d, x0) / spmm_iters
-    spmm_edges_per_s = graph.number_of_directed_edges / dt_spmm
+    dt_coo = _run_timed(spmm_coo_chain, rows_d, cols_d, vals_d, x0) / spmm_iters
+    spmm_coo_edges_per_s = graph.number_of_directed_edges / dt_coo
 
     cpu_proxy = cpu_walk_proxy(graph)
 
@@ -174,6 +193,8 @@ def main():
                 "walk2_steps_per_s": round(walk2_steps_per_s),
                 "skipgram_train_centers_per_s": round(train_centers_per_s),
                 "spmm_edges_per_s": round(spmm_edges_per_s),
+                "spmm_gbytes_per_s": round(spmm_gbytes_per_s, 1),
+                "spmm_coo_edges_per_s": round(spmm_coo_edges_per_s),
                 "cpu_proxy_steps_per_s": round(cpu_proxy),
             }
         )

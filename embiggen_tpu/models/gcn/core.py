@@ -3,8 +3,9 @@ of the reference's `AbstractGCN` (`embiggen/utils/abstract_gcn.py:201-1066`).
 
 The reference assembles Keras graphs with sparse-tensor inputs and
 `embedding_lookup_sparse` convolutions; here the model is a pure function
-`(params, features, kernels) -> node representations` built on the COO SpMM
-from `ops/spmm.py`, trained full-graph with optax under jit. Kernel choice
+`(params, features, kernels) -> node representations` built on the
+scatter-free bucketed-ELLPACK SpMM (`ops/spmm.py::spmm_padded`), trained
+full-graph with optax under jit. Kernel choice
 per model mirrors the reference trio: Kipf GCN = Symmetric Normalized
 Laplacian (`kipf_gcn.py:175`), GraphSAGE = Left Normalized Laplacian
 (`graph_sage.py:172`), GNN = no kernels (`gnn.py:163`).
@@ -21,7 +22,7 @@ import optax
 
 from ...graph.graph import Graph
 from ...graph.laplacians import kernel_coo
-from ...ops.spmm import spmm
+from ...ops.spmm import pad_coo, spmm_padded
 
 Params = Dict[str, Any]
 
@@ -87,17 +88,14 @@ class GCNEncoder:
         return bool(self.kernel_names) and bool(self.units)
 
     def build_kernels(self, graph: Graph):
-        """COO device arrays for each kernel."""
+        """One bucketed-ELLPACK `PaddedKernel` per kernel name — the
+        scatter-free gather-contract layout `spmm_padded` consumes (built
+        once here; the reference builds its tf.SparseTensor equivalents once
+        per fit, `abstract_gcn.py:1202-1221`)."""
         out = []
         for name in self.kernel_names:
             rows, cols, vals = kernel_coo(graph, name)
-            out.append(
-                (
-                    jnp.asarray(rows, jnp.int32),
-                    jnp.asarray(cols, jnp.int32),
-                    jnp.asarray(vals, jnp.float32),
-                )
-            )
+            out.append(pad_coo(rows, cols, vals, graph.number_of_nodes))
         return out
 
     def init(self, key, in_dim: int) -> Params:
@@ -127,7 +125,7 @@ class GCNEncoder:
         if not self.has_convolutions:
             return x
         outs = []
-        for layers, (rows, cols, vals) in zip(params["kernels"], kernels):
+        for layers, pk in zip(params["kernels"], kernels):
             h = x
             for layer in layers:
                 if training and self.dropout_rate > 0 and key is not None:
@@ -136,7 +134,7 @@ class GCNEncoder:
                         sub, 1.0 - self.dropout_rate, h.shape
                     )
                     h = jnp.where(keep, h / (1.0 - self.dropout_rate), 0.0)
-                h = spmm(rows, cols, vals, h, n_nodes, self.combiner)
+                h = spmm_padded(pk, h, self.combiner)
                 h = jax.nn.relu(h @ layer["w"] + layer["b"])
             outs.append(h)
         h = jnp.concatenate(outs, axis=1) if len(outs) > 1 else outs[0]

@@ -102,7 +102,75 @@ def _sample_neighbor(
     return jnp.where(deg > 0, nxt, nodes)
 
 
-def _second_order_step(
+def _second_order_step_rejection(
+    dg: DeviceGraph,
+    key: jnp.ndarray,
+    prev: jnp.ndarray,
+    curr: jnp.ndarray,
+    return_weight: float,
+    explore_weight: float,
+    max_neighbours: int,
+    n_tries: int = 8,
+) -> jnp.ndarray:
+    """One p/q-biased step by rejection sampling — the production path.
+
+    Proposal: first-order candidate (uniform over the capped row; alias
+    sampling contributes the edge-weight factor on weighted graphs). Accept
+    with prob w(c)/w_max, where w(c) is the p/q factor (return_weight if
+    c == prev, 1 if c neighbours prev — ONE binary search per candidate —
+    else explore_weight). `n_tries` candidates are drawn at once; the first
+    accepted is exactly target-distributed. The (1-a)^T residual where all
+    tries reject falls back to a weighted pick among the T candidates
+    (sampling-importance-resampling), so the bias is O((1-a)^T / T).
+
+    This replaces the exact-CDF scoring of all `max_neighbours` candidates
+    (kept as `_second_order_step_exact` and used to validate distribution
+    equality) — M-wide scoring costs M·log(deg) serialized gather rounds per
+    step; rejection costs 1 + log(deg)."""
+    b = curr.shape[0]
+    t = n_tries
+    deg = jnp.minimum(dg.degrees[curr], max_neighbours)          # [B]
+    base = dg.row_ptr[curr]
+    k_off, k_coin, k_acc, k_fb = jax.random.split(key, 4)
+    r = jax.random.uniform(k_off, (b, t))
+    offs = jnp.minimum(
+        (r * deg[:, None]).astype(jnp.int32), jnp.maximum(deg - 1, 0)[:, None]
+    )
+    idx = jnp.clip(base[:, None] + offs, 0, max(dg.n_arcs - 1, 0))
+    if dg.alias_prob is not None:
+        coin = jax.random.uniform(k_coin, (b, t))
+        take_alias = coin >= dg.alias_prob[idx]
+        alias_off = jnp.minimum(
+            dg.alias_idx[idx], jnp.maximum(deg - 1, 0)[:, None]
+        )
+        offs = jnp.where(take_alias, alias_off, offs)
+        idx = jnp.clip(base[:, None] + offs, 0, max(dg.n_arcs - 1, 0))
+    cands = dg.col_idx[idx]                                      # [B, T]
+    is_return = cands == prev[:, None]
+    is_common = csr_has_edges(
+        dg.row_ptr, dg.col_idx,
+        jnp.broadcast_to(prev[:, None], (b, t)).reshape(-1),
+        cands.reshape(-1),
+        n_iters=_bsearch_iters(dg),
+    ).reshape(b, t)
+    w = jnp.where(
+        is_return, return_weight, jnp.where(is_common, 1.0, explore_weight)
+    )
+    w_max = max(return_weight, 1.0, explore_weight)
+    accept = jax.random.uniform(k_acc, (b, t)) * w_max < w
+    first = jnp.argmax(accept, axis=1)           # first True per row
+    any_accept = jnp.any(accept, axis=1)
+    cdf = jnp.cumsum(w, axis=1)
+    u = jax.random.uniform(k_fb, (b,)) * cdf[:, -1]
+    fallback = jnp.minimum(
+        jnp.sum((cdf <= u[:, None]).astype(jnp.int32), axis=1), t - 1
+    )
+    pick = jnp.where(any_accept, first, fallback)
+    nxt = jnp.take_along_axis(cands, pick[:, None], axis=1)[:, 0]
+    return jnp.where(deg > 0, nxt, curr)
+
+
+def _second_order_step_exact(
     dg: DeviceGraph,
     key: jnp.ndarray,
     prev: jnp.ndarray,
@@ -149,6 +217,7 @@ def _second_order_step(
     jax.jit,
     static_argnames=(
         "walk_length", "return_weight", "explore_weight", "max_neighbours",
+        "exact_pq",
     ),
 )
 def random_walks(
@@ -159,21 +228,37 @@ def random_walks(
     return_weight: float = 1.0,
     explore_weight: float = 1.0,
     max_neighbours: Optional[int] = None,
+    exact_pq: bool = False,
 ) -> jnp.ndarray:
     """[B, walk_length] walks starting at start_nodes. First-order when
     return_weight == explore_weight == 1.0, else p/q-biased second-order
     (second-order implies a neighbourhood cap; defaults to the reference's
-    max_neighbours=100)."""
+    max_neighbours=100). `exact_pq` forces the M-wide exact-CDF sampler
+    instead of the fast rejection sampler (testing/validation only)."""
     first_order = return_weight == 1.0 and explore_weight == 1.0
     cap = max_neighbours if max_neighbours is not None else 100
+    # Rejection sampling's all-tries-reject residual grows with the p/q
+    # weight ratio; beyond ratio 16 (the reference's practical p,q range is
+    # [0.25, 4]) the exact-CDF sampler is both safer and competitive, since
+    # extreme ratios would need many tries anyway. Decided at trace time.
+    w_hi = max(return_weight, 1.0, explore_weight)
+    w_lo = min(return_weight, 1.0, explore_weight)
+    ratio = w_hi / max(w_lo, 1e-9)
+    use_exact = exact_pq or ratio > 16.0
+    n_tries = 8 if ratio <= 4.0 else 16
 
     def step(carry, k):
         prev, curr = carry
         if first_order:
             nxt = _sample_neighbor(dg, k, curr, max_neighbours)
-        else:
-            nxt = _second_order_step(
+        elif use_exact:
+            nxt = _second_order_step_exact(
                 dg, k, prev, curr, return_weight, explore_weight, cap
+            )
+        else:
+            nxt = _second_order_step_rejection(
+                dg, k, prev, curr, return_weight, explore_weight, cap,
+                n_tries=n_tries,
             )
         return (curr, nxt), nxt
 

@@ -206,3 +206,47 @@ def test_skipgram_gradient_parity(karate):
         )(jnp.asarray(inputs))
     )
     np.testing.assert_allclose(grad_ours, grad_tf, rtol=1e-4, atol=1e-6)
+
+
+@pytest.mark.parametrize("combiner", ["sum", "mean", "sqrtn"])
+def test_spmm_padded_matches_tf_embedding_lookup_sparse(karate, combiner):
+    """The production bucketed-ELLPACK path (the one GCNEncoder uses) must
+    match tf.nn.embedding_lookup_sparse for all combiners — including with a
+    cap below the max degree, which forces rows through the overflow path."""
+    from embiggen_tpu.ops.spmm import pad_coo, spmm_padded
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(34, 16)).astype(np.float32)
+    rows, cols, vals = kernel_coo(karate, "Symmetric Normalized Laplacian")
+    theirs = _tf_sparse_conv(rows, cols, vals, x, combiner)
+    max_deg = int(np.bincount(rows).max())
+    for cap in (512, 8, 4):  # 8 and 4 are < karate max degree (17)
+        pk = pad_coo(rows, cols, vals, 34, cap=cap, min_k=4)
+        if cap < max_deg:
+            assert pk.ov_rows.shape[0] > 0, "cap below max degree must overflow"
+        ours = np.asarray(spmm_padded(pk, jnp.asarray(x), combiner))
+        np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=1e-5)
+
+
+def test_spmm_padded_unsorted_coo_and_empty_rows():
+    """pad_coo must be robust to arbitrary COO order and rows with no edges."""
+    from embiggen_tpu.ops.spmm import pad_coo, spmm_padded
+    from embiggen_tpu.ops.spmm import spmm
+
+    rng = np.random.default_rng(7)
+    n, e = 50, 300
+    rows = rng.integers(0, n, e)
+    rows[rows == 13] = 14  # make row 13 empty
+    cols = rng.integers(0, n, e)
+    vals = rng.normal(size=e).astype(np.float32)
+    x = rng.normal(size=(n, 8)).astype(np.float32)
+    expect = np.asarray(
+        spmm(
+            jnp.asarray(rows, jnp.int32), jnp.asarray(cols, jnp.int32),
+            jnp.asarray(vals), jnp.asarray(x), n, "sum", sorted_rows=False,
+        )
+    )
+    pk = pad_coo(rows, cols, vals, n, cap=8, min_k=4)
+    got = np.asarray(spmm_padded(pk, jnp.asarray(x), "sum"))
+    np.testing.assert_allclose(got, expect, rtol=1e-4, atol=1e-5)
+    assert np.allclose(got[13], 0.0)

@@ -210,3 +210,80 @@ def test_edge_chunk(kdev, kgraph):
     last_chunk = kdev.n_arcs // 100
     m_last = np.asarray(chunk_mask(kdev, last_chunk, 100))
     assert m_last.sum() == kdev.n_arcs % 100
+
+
+@pytest.mark.parametrize(
+    "rw,ew", [(2.0, 0.5), (0.25, 4.0), (1.0, 0.25)]
+)
+def test_rejection_sampler_matches_exact_cdf(kdev, kgraph, rw, ew):
+    """The production rejection p/q sampler and the exact-CDF sampler draw
+    from the same per-step distribution (VERDICT round-1 item 2)."""
+    from embiggen_tpu.ops.walks import (
+        _second_order_step_exact,
+        _second_order_step_rejection,
+    )
+
+    # fixed (prev, curr) pair with plenty of neighbours
+    curr_node = int(np.argmax(kgraph.degrees))
+    prev_node = int(kgraph.neighbors(curr_node)[0])
+    n = 30_000
+    prev = jnp.full((n,), prev_node, jnp.int32)
+    curr = jnp.full((n,), curr_node, jnp.int32)
+    cap = 34
+    exact = np.asarray(
+        jax.jit(_second_order_step_exact, static_argnums=(4, 5, 6))(
+            kdev, jax.random.PRNGKey(0), prev, curr, rw, ew, cap
+        )
+    )
+    rej = np.asarray(
+        jax.jit(_second_order_step_rejection, static_argnums=(4, 5, 6))(
+            kdev, jax.random.PRNGKey(1), prev, curr, rw, ew, cap
+        )
+    )
+    nodes = np.arange(kgraph.number_of_nodes)
+    p_exact = np.bincount(exact, minlength=len(nodes)) / n
+    p_rej = np.bincount(rej, minlength=len(nodes)) / n
+    # supports identical, total variation small
+    assert set(np.nonzero(p_rej)[0]) <= set(
+        kgraph.neighbors(curr_node).tolist()
+    )
+    tv = 0.5 * np.abs(p_exact - p_rej).sum()
+    assert tv < 0.03, tv
+
+
+def test_rejection_sampler_weighted(kgraph):
+    """Weighted graphs: rejection target ∝ edge_weight × pq factor."""
+    import dataclasses
+
+    from embiggen_tpu.ops.walks import (
+        _second_order_step_exact,
+        _second_order_step_rejection,
+    )
+
+    rng = np.random.default_rng(0)
+    g = dataclasses.replace(
+        kgraph,
+        weights=(0.25 + rng.random(kgraph.number_of_directed_edges)).astype(
+            np.float32
+        ),
+    )
+    dev = g.device(with_alias=True)
+    curr_node = int(np.argmax(g.degrees))
+    prev_node = int(g.neighbors(curr_node)[0])
+    n = 40_000
+    prev = jnp.full((n,), prev_node, jnp.int32)
+    curr = jnp.full((n,), curr_node, jnp.int32)
+    exact = np.asarray(
+        jax.jit(_second_order_step_exact, static_argnums=(4, 5, 6))(
+            dev, jax.random.PRNGKey(0), prev, curr, 2.0, 0.5, 34
+        )
+    )
+    rej = np.asarray(
+        jax.jit(_second_order_step_rejection, static_argnums=(4, 5, 6))(
+            dev, jax.random.PRNGKey(1), prev, curr, 2.0, 0.5, 34
+        )
+    )
+    p_exact = np.bincount(exact, minlength=g.number_of_nodes) / n
+    p_rej = np.bincount(rej, minlength=g.number_of_nodes) / n
+    tv = 0.5 * np.abs(p_exact - p_rej).sum()
+    assert tv < 0.03, tv
