@@ -209,6 +209,45 @@ class Graph:
         m = self.node_name_to_id
         return np.asarray([m[n] for n in names], dtype=np.int32)
 
+    def get_node_ids_from_prefixes(
+        self, prefixes: Sequence[str]
+    ) -> np.ndarray:
+        """Ids of nodes whose name starts with any prefix (reference
+        `Graph.get_node_ids_from_node_curie_prefixes` surface used by the
+        bipartite/clique prefix helpers, `edge_prediction_model.py:603`)."""
+        if isinstance(prefixes, str):
+            prefixes = [prefixes]
+        names = self.get_node_names()
+        mask = np.zeros(self.number_of_nodes, dtype=bool)
+        for p in prefixes:
+            mask |= np.char.startswith(names.astype(str), p)
+        return np.nonzero(mask)[0].astype(np.int32)
+
+    def get_node_ids_from_node_type_names(
+        self, type_names: Sequence[str]
+    ) -> np.ndarray:
+        """Ids of nodes having at least one of the given node types
+        (reference bipartite/clique node-type helpers,
+        `edge_prediction_model.py:676,951`)."""
+        if isinstance(type_names, str):
+            type_names = [type_names]
+        if self.node_type_ptr is None:
+            raise ValueError(f"Graph {self.name} has no node types.")
+        all_names = list(self.get_node_type_names())
+        wanted = set()
+        for t in type_names:
+            if t not in all_names:
+                raise ValueError(
+                    f"Unknown node type {t!r}; available: {all_names}"
+                )
+            wanted.add(all_names.index(t))
+        counts = np.diff(self.node_type_ptr)
+        rows = np.repeat(np.arange(self.number_of_nodes), counts)
+        hits = np.isin(self.node_type_ids, list(wanted))
+        mask = np.zeros(self.number_of_nodes, dtype=bool)
+        mask[rows[hits]] = True
+        return np.nonzero(mask)[0].astype(np.int32)
+
     def get_edge_type_names(self) -> Optional[np.ndarray]:
         if self.edge_types is None:
             return None

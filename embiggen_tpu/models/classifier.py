@@ -102,6 +102,133 @@ class AbstractClassifierModel(AbstractModel):
             raise ValueError("Node features contain NaN or Inf values.")
         return arr
 
+    # ---------------------------------------------- type/edge feature classes
+    def _validate_type_feature_matrix(
+        self, feature, n_rows: int, names, kind: str
+    ) -> np.ndarray:
+        """Validate/align one [n_rows, d] feature matrix; DataFrames are
+        reindexed by `names` (node-type or edge-type names)."""
+        if hasattr(feature, "loc"):
+            missing = set(names) - set(feature.index)
+            if missing:
+                raise ValueError(
+                    f"{kind} features DataFrame is missing {len(missing)} "
+                    f"entries, e.g. {sorted(missing)[:5]}"
+                )
+            arr = feature.loc[list(names)].to_numpy(dtype=np.float32)
+        else:
+            arr = np.asarray(feature, dtype=np.float32)
+        if arr.ndim == 1:
+            arr = arr[:, None]
+        if arr.shape[0] != n_rows:
+            raise ValueError(
+                f"{kind} feature has {arr.shape[0]} rows but the graph has "
+                f"{n_rows} {kind.lower()}s."
+            )
+        if not np.isfinite(arr).all():
+            raise ValueError(f"{kind} features contain NaN or Inf values.")
+        return arr
+
+    def normalize_node_type_features(
+        self, graph: Graph, node_type_features
+    ) -> Optional[List[np.ndarray]]:
+        """Normalize into a list of [n_node_types, d] float32 matrices
+        (reference `abstract_classifier_model.py:866-1082`)."""
+        if node_type_features is None:
+            return None
+        if not graph.has_node_types:
+            raise ValueError(
+                f"Node type features provided but graph {graph.name} has no "
+                "node types."
+            )
+        if not isinstance(node_type_features, list):
+            node_type_features = [node_type_features]
+        names = graph.get_node_type_names()
+        return [
+            self._validate_type_feature_matrix(
+                f, graph.number_of_node_types, names, "Node type"
+            )
+            for f in node_type_features
+        ]
+
+    def normalize_edge_type_features(
+        self, graph: Graph, edge_type_features
+    ) -> Optional[List[np.ndarray]]:
+        """Normalize into a list of [n_edge_types, d] float32 matrices
+        (reference `abstract_classifier_model.py:1084-1302`)."""
+        if edge_type_features is None:
+            return None
+        if not graph.has_edge_types:
+            raise ValueError(
+                f"Edge type features provided but graph {graph.name} has no "
+                "edge types."
+            )
+        if not isinstance(edge_type_features, list):
+            edge_type_features = [edge_type_features]
+        names = graph.get_edge_type_names()
+        return [
+            self._validate_type_feature_matrix(
+                f, graph.number_of_edge_types, names, "Edge type"
+            )
+            for f in edge_type_features
+        ]
+
+    def normalize_edge_features(
+        self, graph: Graph, edge_features
+    ) -> Optional[List[Any]]:
+        """Normalize edge features: lazy edge-feature models (the
+        AbstractEdgeFeature protocol — anything with `fit` +
+        `device_feature_fn`) pass through; arrays/DataFrames must be
+        [n_directed_edges, d] (reference
+        `abstract_classifier_model.py:1304-1530`)."""
+        if edge_features is None:
+            return None
+        if not isinstance(edge_features, list):
+            edge_features = [edge_features]
+        out: List[Any] = []
+        for feature in edge_features:
+            if isinstance(feature, str):
+                from .registry import get_model_from_library
+
+                feature = get_model_from_library(
+                    feature, task_name="Node Embedding"
+                )()
+            if hasattr(feature, "device_feature_fn"):
+                out.append(feature)
+                continue
+            arr = (
+                feature.to_numpy(dtype=np.float32)
+                if hasattr(feature, "loc")
+                else np.asarray(feature, dtype=np.float32)
+            )
+            if arr.ndim == 1:
+                arr = arr[:, None]
+            if arr.shape[0] != graph.number_of_directed_edges:
+                raise ValueError(
+                    f"Edge feature has {arr.shape[0]} rows but graph "
+                    f"{graph.name} has {graph.number_of_directed_edges} "
+                    "directed edges."
+                )
+            if not np.isfinite(arr).all():
+                raise ValueError("Edge features contain NaN or Inf values.")
+            out.append(arr)
+        return out
+
+    # Capability flags: a feature kwarg is either consumed or rejected —
+    # never silently dropped (reference models raise the same way when a
+    # feature class is unsupported).
+    @classmethod
+    def can_use_node_type_features(cls) -> bool:
+        return False
+
+    @classmethod
+    def can_use_edge_type_features(cls) -> bool:
+        return False
+
+    @classmethod
+    def can_use_edge_features(cls) -> bool:
+        return False
+
     @staticmethod
     def fit_deferred_features(
         features: Optional[List[Any]], graph: Graph
@@ -150,7 +277,24 @@ class AbstractClassifierModel(AbstractModel):
                 f"{self.model_name()} requires edge types; graph "
                 f"{graph.name} has none."
             )
+        for provided, flag, kind in (
+            (node_type_features, self.can_use_node_type_features(), "node_type_features"),
+            (edge_type_features, self.can_use_edge_type_features(), "edge_type_features"),
+            (edge_features, self.can_use_edge_features(), "edge_features"),
+        ):
+            if provided is not None and not flag:
+                raise ValueError(
+                    f"{self.model_name()} ({self.library_name()}) does not "
+                    f"support {kind}; they would be silently ignored."
+                )
         node_features = self.normalize_node_features(graph, node_features)
+        node_type_features = self.normalize_node_type_features(
+            graph, node_type_features
+        )
+        edge_type_features = self.normalize_edge_type_features(
+            graph, edge_type_features
+        )
+        edge_features = self.normalize_edge_features(graph, edge_features)
         try:
             self._fit(
                 graph,

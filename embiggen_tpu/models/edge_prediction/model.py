@@ -125,43 +125,209 @@ class AbstractEdgePredictionModel(AbstractClassifierModel):
         return rows
 
     # ----------------------------------------------- candidate-set prediction
+    #
+    # The full 16-method bipartite/clique surface of the reference
+    # (`edge_prediction_model.py:457-1875`): {predict, predict_proba} ×
+    # {bipartite, clique} × {ids, names, prefixes, node types}. All routes
+    # score the |S|×|D| candidate product in fixed-size chunks — each chunk's
+    # (src, dst) index arrays are synthesized from the flat pair index, so
+    # the product is never materialized on the host.
+    PREDICTION_CHUNK_SIZE = 1 << 15  # reference `prediction_batch_size=2**15`
+
+    def _score_pair_product(
+        self,
+        source_node_ids: np.ndarray,
+        destination_node_ids: np.ndarray,
+    ) -> np.ndarray:
+        """[|S|, |D|] probabilities, computed in bounded-memory chunks of
+        `PREDICTION_CHUNK_SIZE` pairs (padded to a single static shape so
+        jitted scorers compile once)."""
+        src_ids = np.asarray(source_node_ids, dtype=np.int64).reshape(-1)
+        dst_ids = np.asarray(destination_node_ids, dtype=np.int64).reshape(-1)
+        s, d = len(src_ids), len(dst_ids)
+        total = s * d
+        chunk = int(self.PREDICTION_CHUNK_SIZE)
+        out = np.empty(total, dtype=np.float32)
+        for start in range(0, total, chunk):
+            stop = min(start + chunk, total)
+            flat = np.arange(start, stop, dtype=np.int64)
+            src = src_ids[flat // d]
+            dst = dst_ids[flat % d]
+            if stop - start < chunk and total > chunk:
+                # pad to the compiled chunk shape; padded scores discarded
+                pad = chunk - (stop - start)
+                src = np.concatenate([src, np.repeat(src[-1:], pad)])
+                dst = np.concatenate([dst, np.repeat(dst[-1:], pad)])
+            scores = np.asarray(
+                self.predict_proba_from_edge_node_ids(
+                    src.astype(np.int32), dst.astype(np.int32)
+                )
+            ).reshape(-1)
+            out[start:stop] = scores[: stop - start]
+        return out.reshape(s, d)
+
+    @staticmethod
+    def _as_dataframe(matrix, graph, src_ids, dst_ids, return_node_names):
+        import pandas as pd
+
+        if return_node_names:
+            names = graph.get_node_names()
+            index = names[np.asarray(src_ids, dtype=np.int64)]
+            columns = names[np.asarray(dst_ids, dtype=np.int64)]
+        else:
+            index, columns = src_ids, dst_ids
+        return pd.DataFrame(matrix, index=index, columns=columns)
+
+    # --- proba × bipartite
     def predict_proba_bipartite_graph_from_edge_node_ids(
         self,
         source_node_ids: np.ndarray,
         destination_node_ids: np.ndarray,
         support: Optional[Graph] = None,
-    ) -> np.ndarray:
+        graph: Optional[Graph] = None,
+        return_predictions_dataframe: bool = False,
+        return_node_names: bool = True,
+    ):
         """[|S|, |D|] probabilities for the full bipartite candidate set
         (reference `edge_prediction_model.py:1226`)."""
-        src = np.repeat(
-            np.asarray(source_node_ids), len(destination_node_ids)
+        matrix = self._score_pair_product(
+            source_node_ids, destination_node_ids
         )
-        dst = np.tile(np.asarray(destination_node_ids), len(source_node_ids))
-        scores = self.predict_proba_from_edge_node_ids(src, dst)
-        return scores.reshape(len(source_node_ids), len(destination_node_ids))
+        if return_predictions_dataframe:
+            if graph is None:
+                raise ValueError(
+                    "return_predictions_dataframe requires the graph to "
+                    "resolve node names."
+                )
+            return self._as_dataframe(
+                matrix, graph, source_node_ids, destination_node_ids,
+                return_node_names,
+            )
+        return matrix
 
     def predict_proba_bipartite_graph_from_edge_node_names(
         self, graph: Graph, source_node_names, destination_node_names,
-    ) -> np.ndarray:
+        **kwargs,
+    ):
         return self.predict_proba_bipartite_graph_from_edge_node_ids(
             graph.get_node_ids_from_names(source_node_names),
             graph.get_node_ids_from_names(destination_node_names),
+            graph=graph, **kwargs,
         )
 
-    def predict_proba_clique_graph_from_node_ids(
-        self, node_ids: np.ndarray
-    ) -> np.ndarray:
-        """[k, k] probabilities over the clique of the given nodes (reference
-        clique helpers, `edge_prediction_model.py:457-1875`)."""
+    def predict_proba_bipartite_graph_from_edge_node_prefixes(
+        self, graph: Graph, source_node_prefixes, destination_node_prefixes,
+        **kwargs,
+    ):
+        """Candidate set = nodes whose names match the given prefixes
+        (reference `edge_prediction_model.py:1394`)."""
         return self.predict_proba_bipartite_graph_from_edge_node_ids(
-            node_ids, node_ids
+            graph.get_node_ids_from_prefixes(source_node_prefixes),
+            graph.get_node_ids_from_prefixes(destination_node_prefixes),
+            graph=graph, **kwargs,
+        )
+
+    def predict_proba_bipartite_graph_from_edge_node_types(
+        self, graph: Graph, source_node_types, destination_node_types,
+        **kwargs,
+    ):
+        """Candidate set = nodes having the given node types (reference
+        `edge_prediction_model.py:1478`)."""
+        return self.predict_proba_bipartite_graph_from_edge_node_ids(
+            graph.get_node_ids_from_node_type_names(source_node_types),
+            graph.get_node_ids_from_node_type_names(destination_node_types),
+            graph=graph, **kwargs,
+        )
+
+    # --- proba × clique
+    def predict_proba_clique_graph_from_node_ids(
+        self, node_ids: np.ndarray, **kwargs
+    ):
+        """[k, k] probabilities over the clique of the given nodes (reference
+        `edge_prediction_model.py:1562`)."""
+        return self.predict_proba_bipartite_graph_from_edge_node_ids(
+            node_ids, node_ids, **kwargs
         )
 
     def predict_proba_clique_graph_from_node_names(
-        self, graph: Graph, node_names
-    ) -> np.ndarray:
+        self, graph: Graph, node_names, **kwargs
+    ):
         ids = graph.get_node_ids_from_names(node_names)
-        return self.predict_proba_clique_graph_from_node_ids(ids)
+        return self.predict_proba_clique_graph_from_node_ids(
+            ids, graph=graph, **kwargs
+        )
+
+    def predict_proba_clique_graph_from_node_prefixes(
+        self, graph: Graph, node_prefixes, **kwargs
+    ):
+        ids = graph.get_node_ids_from_prefixes(node_prefixes)
+        return self.predict_proba_clique_graph_from_node_ids(
+            ids, graph=graph, **kwargs
+        )
+
+    def predict_proba_clique_graph_from_node_type_names(
+        self, graph: Graph, node_type_names, **kwargs
+    ):
+        ids = graph.get_node_ids_from_node_type_names(node_type_names)
+        return self.predict_proba_clique_graph_from_node_ids(
+            ids, graph=graph, **kwargs
+        )
+
+    # --- hard-label variants (reference `edge_prediction_model.py:457-1017`)
+    def _hard(self, result):
+        if hasattr(result, "loc"):  # DataFrame
+            return result > 0.5
+        return result > 0.5
+
+    def predict_bipartite_graph_from_edge_node_ids(self, *args, **kwargs):
+        return self._hard(
+            self.predict_proba_bipartite_graph_from_edge_node_ids(
+                *args, **kwargs
+            )
+        )
+
+    def predict_bipartite_graph_from_edge_node_names(self, *args, **kwargs):
+        return self._hard(
+            self.predict_proba_bipartite_graph_from_edge_node_names(
+                *args, **kwargs
+            )
+        )
+
+    def predict_bipartite_graph_from_edge_node_prefixes(self, *args, **kwargs):
+        return self._hard(
+            self.predict_proba_bipartite_graph_from_edge_node_prefixes(
+                *args, **kwargs
+            )
+        )
+
+    def predict_bipartite_graph_from_edge_node_types(self, *args, **kwargs):
+        return self._hard(
+            self.predict_proba_bipartite_graph_from_edge_node_types(
+                *args, **kwargs
+            )
+        )
+
+    def predict_clique_graph_from_node_ids(self, *args, **kwargs):
+        return self._hard(
+            self.predict_proba_clique_graph_from_node_ids(*args, **kwargs)
+        )
+
+    def predict_clique_graph_from_node_names(self, *args, **kwargs):
+        return self._hard(
+            self.predict_proba_clique_graph_from_node_names(*args, **kwargs)
+        )
+
+    def predict_clique_graph_from_node_prefixes(self, *args, **kwargs):
+        return self._hard(
+            self.predict_proba_clique_graph_from_node_prefixes(*args, **kwargs)
+        )
+
+    def predict_clique_graph_from_node_type_names(self, *args, **kwargs):
+        return self._hard(
+            self.predict_proba_clique_graph_from_node_type_names(
+                *args, **kwargs
+            )
+        )
 
     def predict_proba_from_edge_node_ids(
         self, src: np.ndarray, dst: np.ndarray

@@ -143,6 +143,21 @@ class GCNEncoder:
         return h
 
 
+def materialize_node_type_features(
+    graph: Graph, node_type_features: List[np.ndarray]
+) -> List[np.ndarray]:
+    """Per-node rows from [n_node_types, d] matrices: mean over each node's
+    known types, zeros for unknown-type nodes (the reference's masked
+    average for multilabel graphs,
+    `gcn_edge_prediction_sequence.py:168-187`)."""
+    onehot = graph.get_one_hot_encoded_node_types()  # [N, T]
+    counts = np.maximum(onehot.sum(axis=1, keepdims=True), 1.0)
+    return [
+        (onehot @ np.asarray(f, np.float32)) / counts
+        for f in node_type_features
+    ]
+
+
 def assemble_node_features(
     graph: Graph,
     node_features: Optional[List[np.ndarray]],
@@ -151,11 +166,16 @@ def assemble_node_features(
     use_node_type_embedding: bool,
     node_type_embedding_size: int,
     key,
+    node_type_features: Optional[List[np.ndarray]] = None,
 ) -> Tuple[Params, "StaticFeatureSpec"]:
     """Build the static feature matrix and any learned embedding tables
     (reference optional learned node / node-type embeddings,
-    `abstract_gcn.py:201-419`)."""
+    `abstract_gcn.py:201-419`); `node_type_features` are [n_node_types, d]
+    matrices folded in as per-node type-averaged rows
+    (`abstract_gcn.py:612-709`)."""
     mats = [np.asarray(f, np.float32) for f in (node_features or [])]
+    if node_type_features:
+        mats.extend(materialize_node_type_features(graph, node_type_features))
     static = (
         np.concatenate(mats, axis=1)
         if mats

@@ -87,8 +87,26 @@ class _EdgeGCNBase(AbstractClassifierModel):
         self._epochs = epochs
         self._learning_rate = learning_rate
         self._early_stopping_patience = early_stopping_patience
+        self._needs_edge_lookup = False
+        self._static_edge_feats: List[Any] = []
+        self._edge_type_feat_tables: List[Any] = []
+        self._edge_types_by_arc = None
         edge_ops.resolve(edge_embedding_method, edge_ops.EDGE_GCN_METHODS)
         super().__init__(random_state=random_state)
+
+    # GCNs consume all four feature classes (reference
+    # `abstract_edge_gcn.py:395-510`).
+    @classmethod
+    def can_use_node_type_features(cls) -> bool:
+        return True
+
+    @classmethod
+    def can_use_edge_type_features(cls) -> bool:
+        return True
+
+    @classmethod
+    def can_use_edge_features(cls) -> bool:
+        return True
 
     def parameters(self) -> Dict[str, Any]:
         return {
@@ -123,7 +141,9 @@ class _EdgeGCNBase(AbstractClassifierModel):
         }
 
     # --------------------------------------------------------------- assembly
-    def _build_common(self, graph: Graph, support: Graph, node_features, key):
+    def _build_common(self, graph: Graph, support: Graph, node_features, key,
+                      node_type_features=None, edge_type_features=None,
+                      edge_features=None):
         self._encoder = GCNEncoder(
             self._kernels if self._units else None,
             self._units,
@@ -139,15 +159,62 @@ class _EdgeGCNBase(AbstractClassifierModel):
             graph, node_features,
             self._use_node_embedding, self._node_embedding_size,
             self._use_node_type_embedding, self._node_type_embedding_size,
-            k_feat,
+            k_feat, node_type_features=node_type_features,
         )
         if spec.dim(embed_params) == 0:
             embed_params, spec = assemble_node_features(
                 graph, node_features, True, self._node_embedding_size,
                 self._use_node_type_embedding, self._node_type_embedding_size,
-                k_feat,
+                k_feat, node_type_features=node_type_features,
             )
         self._spec = spec
+
+        # Split normalized edge features into lazy models (AbstractEdgeFeature
+        # protocol) and static [n_directed_edges, d] matrices; the latter are
+        # served per-(src, dst) pair via the device arc-key lookup below,
+        # zeros for non-edges (reference consumption at
+        # `abstract_edge_gcn.py:510-560`).
+        static_edge_feats: List[np.ndarray] = []
+        lazy_edge_models = list(self._edge_feature_models)
+        for ef in (edge_features or []):
+            if hasattr(ef, "device_feature_fn"):
+                lazy_edge_models.append(ef)
+            else:
+                static_edge_feats.append(np.asarray(ef, np.float32))
+        self._needs_edge_lookup = bool(static_edge_feats) or (
+            (self._use_edge_type_embedding or bool(edge_type_features))
+            and graph.has_edge_types
+        )
+        if self._needs_edge_lookup:
+            self._lookup_row_ptr = jnp.asarray(
+                graph.row_ptr.astype(np.int32)
+            )
+            self._lookup_col_idx = jnp.asarray(
+                graph.col_idx.astype(np.int32)
+            )
+            self._lookup_iters = max(
+                1, int(np.ceil(np.log2(int(graph.degrees.max(initial=1)) + 1)))
+            )
+            if graph.has_edge_types:
+                self._edge_types_by_arc = jnp.asarray(
+                    graph.edge_types.astype(np.int32)
+                )
+            else:
+                self._edge_types_by_arc = None
+        # Static edge-feature matrices with a trailing zeros row for
+        # non-edges (index E).
+        self._static_edge_feats = [
+            jnp.asarray(np.vstack([f, np.zeros((1, f.shape[1]), np.float32)]))
+            for f in static_edge_feats
+        ]
+        # Edge-type feature tables [n_edge_types + 1, d]: row 0 = unknown.
+        self._edge_type_feat_tables = [
+            jnp.asarray(
+                np.vstack([np.zeros((1, f.shape[1]), np.float32),
+                           np.asarray(f, np.float32)])
+            )
+            for f in (edge_type_features or [])
+        ]
 
         in_dim = spec.dim(embed_params)
         enc_params = self._encoder.init(k_enc, in_dim)
@@ -170,13 +237,15 @@ class _EdgeGCNBase(AbstractClassifierModel):
         # on the support graph; queried inside the jitted step (reference
         # AbstractEdgeFeature protocol, `abstract_edge_feature.py:49-80`).
         self._edge_feature_fns = []
-        for ef in self._edge_feature_models:
+        for ef in lazy_edge_models:
             ef.fit(support)
             self._edge_feature_fns.append(ef.device_feature_fn())
             edge_dim += sum(
                 int(np.prod(shape))
                 for shape in ef.get_feature_dictionary_shapes().values()
             )
+        edge_dim += sum(int(f.shape[1]) for f in self._static_edge_feats)
+        edge_dim += sum(int(t.shape[1]) for t in self._edge_type_feat_tables)
         head = init_mlp(k_head, [edge_dim] + self._head_units + [self._n_outputs])
         params = {
             "embed": embed_params,
@@ -198,6 +267,18 @@ class _EdgeGCNBase(AbstractClassifierModel):
         self._combine_fn = combine_fn
         return params, kernels
 
+    def _lookup_edge_ids(self, src, dst):
+        """Device arc lookup: (edge_id, is_edge) per (src, dst) pair via
+        CSR row binary search (`ops.walks.csr_edge_ids`). Non-edges map to
+        the sentinel id `n_arcs` (the zeros row of static edge-feature
+        tables)."""
+        from ...ops.walks import csr_edge_ids
+
+        return csr_edge_ids(
+            self._lookup_row_ptr, self._lookup_col_idx, src, dst,
+            n_iters=self._lookup_iters,
+        )
+
     def _edge_logits(
         self, params, kernels, src, dst, n_nodes, training=False, key=None,
         edge_types=None,
@@ -212,15 +293,37 @@ class _EdgeGCNBase(AbstractClassifierModel):
         e = self._combine_fn(h_src, h_dst)
         for fn in self._edge_feature_fns:
             e = jnp.concatenate([e, fn(src, dst)], axis=1)
-        if self._use_edge_type_embedding:
+        edge_ids = None
+        if self._needs_edge_lookup:
+            edge_ids, is_edge = self._lookup_edge_ids(src, dst)
+            if edge_types is None and self._edge_types_by_arc is not None:
+                # Known arcs contribute their real type; non-edges (e.g.
+                # sampled negatives) fall to the unknown row (-1 → index 0).
+                safe = jnp.minimum(
+                    edge_ids, self._edge_types_by_arc.shape[0] - 1
+                )
+                edge_types = jnp.where(
+                    is_edge, self._edge_types_by_arc[safe], -1
+                )
+        for table in self._static_edge_feats:
+            rows = (
+                table[edge_ids]
+                if edge_ids is not None
+                else jnp.zeros((src.shape[0], table.shape[1]), table.dtype)
+            )
+            e = jnp.concatenate([e, rows], axis=1)
+        if self._edge_type_feat_tables or self._use_edge_type_embedding:
             et = (
                 edge_types
                 if edge_types is not None
-                else jnp.zeros(src.shape, jnp.int32)
+                else jnp.full(src.shape, -1, jnp.int32)
             )
-            e = jnp.concatenate(
-                [e, params["edge_type_embedding"][et + 1]], axis=1
-            )
+            for table in self._edge_type_feat_tables:
+                e = jnp.concatenate([e, table[et + 1]], axis=1)
+            if self._use_edge_type_embedding:
+                e = jnp.concatenate(
+                    [e, params["edge_type_embedding"][et + 1]], axis=1
+                )
         return apply_mlp(params["head"], e)
 
 
@@ -248,7 +351,12 @@ class GCNEdgePrediction(_EdgeGCNBase, AbstractEdgePredictionModel):
     def _fit(self, graph: Graph, support: Graph, node_features, **kwargs):
         key = jax.random.PRNGKey(self.random_state or 0)
         self._n_outputs = 1
-        params, kernels = self._build_common(graph, support, node_features, key)
+        params, kernels = self._build_common(
+            graph, support, node_features, key,
+            node_type_features=kwargs.get("node_type_features"),
+            edge_type_features=kwargs.get("edge_type_features"),
+            edge_features=kwargs.get("edge_features"),
+        )
         dg = graph.device()
         n_nodes = graph.number_of_nodes
         batch_size = min(self._batch_size, max(graph.number_of_directed_edges, 8))
@@ -305,7 +413,25 @@ class GCNEdgePrediction(_EdgeGCNBase, AbstractEdgePredictionModel):
 
 class GCNEdgeLabelPrediction(_EdgeGCNBase, AbstractEdgeLabelPredictionModel):
     """Configurable edge-label prediction GCN (reference
-    `edge_label_prediction_tensorflow/gcn.py`)."""
+    `edge_label_prediction_tensorflow/gcn.py`). Edge-type features and the
+    edge-type embedding are rejected — the edge type IS the target
+    (reference `edge_label_prediction_model.py:294-297`,
+    `edge_label_prediction_tensorflow/gcn.py:337-342`)."""
+
+    def __init__(self, **kwargs):
+        kwargs.pop("use_edge_type_embedding", None)
+        kwargs.pop("edge_type_embedding_size", None)
+        super().__init__(**kwargs)
+
+    def parameters(self):
+        p = super().parameters()
+        p.pop("use_edge_type_embedding", None)
+        p.pop("edge_type_embedding_size", None)
+        return p
+
+    @classmethod
+    def can_use_edge_type_features(cls) -> bool:
+        return False
 
     @classmethod
     def model_name(cls) -> str:
@@ -317,7 +443,12 @@ class GCNEdgeLabelPrediction(_EdgeGCNBase, AbstractEdgeLabelPredictionModel):
     def _fit(self, graph: Graph, support: Graph, node_features, **kwargs):
         key = jax.random.PRNGKey(self.random_state or 0)
         self._n_outputs = max(graph.number_of_edge_types, 2)
-        params, kernels = self._build_common(graph, support, node_features, key)
+        params, kernels = self._build_common(
+            graph, support, node_features, key,
+            node_type_features=kwargs.get("node_type_features"),
+            edge_type_features=kwargs.get("edge_type_features"),
+            edge_features=kwargs.get("edge_features"),
+        )
         n_nodes = graph.number_of_nodes
 
         known = graph.get_known_edge_types_mask()

@@ -63,6 +63,42 @@ def csr_has_edges(
     return found & (n_arcs > 0)
 
 
+def csr_edge_ids(
+    row_ptr: jnp.ndarray,
+    col_idx: jnp.ndarray,
+    src: jnp.ndarray,
+    dst: jnp.ndarray,
+    n_iters: int = _BSEARCH_ITERS,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Vectorized (edge_id, found) lookup: the CSR arc position of each
+    (src[i], dst[i]) pair, `n_arcs` sentinel where the pair is not an arc.
+    Same lower-bound search as `csr_has_edges` (arc ids ARE CSR positions —
+    `Graph.sources` is derived from row_ptr). Replaces the reference's
+    `Graph.get_edge_id_from_node_ids` for on-device feature lookups."""
+    n_arcs = col_idx.shape[0]
+    lo = row_ptr[src]
+    hi = row_ptr[src + 1]
+    end = hi
+
+    def body(_, state):
+        lo, hi = state
+        valid = lo < hi
+        mid = (lo + hi) // 2
+        v = col_idx[jnp.clip(mid, 0, max(n_arcs - 1, 0))]
+        go_right = valid & (v < dst)
+        lo = jnp.where(go_right, mid + 1, lo)
+        hi = jnp.where(valid & ~go_right, mid, hi)
+        return lo, hi
+
+    lo, hi = lax.fori_loop(0, n_iters, body, (lo, hi))
+    found = (
+        (lo < end)
+        & (col_idx[jnp.clip(lo, 0, max(n_arcs - 1, 0))] == dst)
+        & (n_arcs > 0)
+    )
+    return jnp.where(found, lo, n_arcs), found
+
+
 def _bsearch_iters(dg: DeviceGraph) -> int:
     """Iterations needed for rows up to max_degree (fallback 32)."""
     if dg.max_degree and dg.max_degree > 0:
