@@ -313,6 +313,49 @@ class AbstractClassifierModel(AbstractModel):
         self._fitting_was_executed = True
         return self
 
+    def evaluate(
+        self,
+        graph: Graph,
+        evaluation_schema: Optional[str] = None,
+        holdouts_number: int = 10,
+        node_features=None,
+        node_type_features=None,
+        edge_type_features=None,
+        edge_features=None,
+        random_state: int = 42,
+        holdouts_kwargs: Optional[Dict[str, Any]] = None,
+        number_of_workers: Optional[int] = None,
+        worker_id: Optional[int] = None,
+        enable_cache: bool = False,
+        cache_dir: Optional[str] = None,
+        **evaluation_kwargs,
+    ):
+        """Model-level holdout evaluation harness returning the tidy metric
+        DataFrame (reference `AbstractClassifierModel.evaluate`,
+        `abstract_classifier_model.py:2626`; cached per experiment at
+        `experiments/{task}/{graph}/{hash}.csv.gz` when `enable_cache`)."""
+        from ..pipelines.evaluation import evaluate_model_on_graph
+
+        if evaluation_schema is None:
+            evaluation_schema = self.get_available_evaluation_schemas()[0]
+        return evaluate_model_on_graph(
+            self,
+            graph,
+            evaluation_schema,
+            holdouts_number,
+            node_features=node_features,
+            node_type_features=node_type_features,
+            edge_type_features=edge_type_features,
+            edge_features=edge_features,
+            random_state=random_state,
+            holdouts_kwargs=holdouts_kwargs,
+            number_of_workers=number_of_workers,
+            worker_id=worker_id,
+            enable_cache=enable_cache,
+            cache_dir=cache_dir,
+            **evaluation_kwargs,
+        )
+
     def predict(self, graph: Graph, **kwargs) -> np.ndarray:
         self._check_fitted()
         proba = self.predict_proba(graph, **kwargs)

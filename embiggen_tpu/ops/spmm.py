@@ -131,9 +131,10 @@ def coo_to_device(
 # pipeline), but XLA's *flat-index row gather* sustains good HBM bandwidth.
 # So the kernel is re-laid-out host-side into degree buckets:
 #
-#   * rows are stably ordered by bucket (K = next power of two covering the
-#     row's length, capped); per bucket, neighbour ids/weights are padded
-#     into a [rows_in_bucket, K] table;
+#   * rows are stably ordered by bucket (K covers the row's length, capped;
+#     ladder = multiples of 4 up to 32, powers of two beyond — bounds
+#     padding waste at ~12% near typical mean degrees); per bucket,
+#     neighbour ids/weights are padded into a [rows_in_bucket, K] table;
 #   * the SpMM gathers each bucket's feature rows with FLAT indices (3x
 #     faster than 2-D indexed gather, measured), contracts the K axis on
 #     the VPU, and writes contiguous [rows_in_bucket, D] blocks;
@@ -189,7 +190,7 @@ def pad_coo(
     vals: np.ndarray,
     n_out: int,
     cap: int = 512,
-    min_k: int = 8,
+    min_k: int = 4,
 ) -> PaddedKernel:
     """Host-side relayout of a COO kernel into a bucketed PaddedKernel.
 
@@ -206,11 +207,14 @@ def pad_coo(
     np.add.at(absw, rows, np.abs(vals))
     np.add.at(sqw, rows, vals * vals)
 
-    # Bucket index per row: K = next pow2 of min(count, cap), >= min_k.
+    # Bucket width ladder: multiples of 4 up to 32 (bounds padding waste to
+    # ~12% around the typical mean degree), power-of-two steps beyond
+    # (bounds the bucket count for heavy-tailed degree distributions).
     clipped = np.minimum(np.maximum(counts, 1), cap)
-    k_per_row = np.maximum(
-        min_k, (1 << np.ceil(np.log2(clipped)).astype(np.int64))
-    )
+    k_small = np.ceil(clipped / 4).astype(np.int64) * 4
+    k_large = 1 << np.ceil(np.log2(np.maximum(clipped, 1))).astype(np.int64)
+    k_per_row = np.maximum(min_k, np.where(clipped <= 32, k_small, k_large))
+    k_per_row = np.minimum(k_per_row, max(cap, min_k))
     ks = np.unique(k_per_row)
 
     # Row permutation: stable order by bucket.
@@ -266,34 +270,33 @@ def pad_coo(
     )
 
 
-# Bound on the [C * K, D] gather intermediate per chunk (elements).
-_PAD_CHUNK_ELEMENTS = 1 << 26
+# Bound on the [C, K, D] gather intermediate per chunk (elements; f32 →
+# ~2 GB). Measured on TPU v5e: the one-shot gather-contract sustains
+# ~145 M gathered rows/s (descriptor-bound) as long as the intermediate
+# fits HBM comfortably; a fori_loop + dynamic_update_slice chunking at
+# 2^26 elements ran at HALF that rate, and letting the intermediate
+# exceed HBM causes host spills 1000x slower. Hence: few, large, STATIC
+# (unrolled) chunks.
+_PAD_CHUNK_ELEMENTS = 1 << 29
 
 
 def _bucket_spmm(cols_pad, vals_pad, xf, d):
-    """Gather-contract one bucket: out[r] = sum_k vals[r,k] * x[cols[r,k]]."""
+    """Gather-contract one bucket: out[r] = sum_k vals[r,k] * x[cols[r,k]].
+    Chunks are unrolled with static slices — no dynamic_update_slice, no
+    loop-carried output buffer."""
     nb, k = cols_pad.shape
     chunk = max(64, _PAD_CHUNK_ELEMENTS // max(k * d, 1))
     if nb <= chunk:
         g = xf[cols_pad.reshape(-1)].reshape(nb, k, d)
         return jnp.sum(vals_pad[:, :, None] * g, axis=1)
-    n_chunks = -(-nb // chunk)
-    nb_pad = n_chunks * chunk
-    cols_p = jnp.pad(cols_pad, ((0, nb_pad - nb), (0, 0)))
-    vals_p = jnp.pad(vals_pad, ((0, nb_pad - nb), (0, 0)))
-
-    def body(i, out):
-        c0 = i * chunk
-        cc = jax.lax.dynamic_slice(cols_p, (c0, 0), (chunk, k))
-        vv = jax.lax.dynamic_slice(vals_p, (c0, 0), (chunk, k))
-        g = xf[cc.reshape(-1)].reshape(chunk, k, d)
-        oc = jnp.sum(vv[:, :, None] * g, axis=1)
-        return jax.lax.dynamic_update_slice(out, oc, (c0, 0))
-
-    out = jax.lax.fori_loop(
-        0, n_chunks, body, jnp.zeros((nb_pad, d), jnp.float32)
-    )
-    return out[:nb]
+    parts = []
+    for c0 in range(0, nb, chunk):
+        c1 = min(c0 + chunk, nb)
+        cc = cols_pad[c0:c1]
+        vv = vals_pad[c0:c1]
+        g = xf[cc.reshape(-1)].reshape(c1 - c0, k, d)
+        parts.append(jnp.sum(vv[:, :, None] * g, axis=1))
+    return jnp.concatenate(parts, axis=0)
 
 
 @functools.partial(jax.jit, static_argnames=("combiner",))

@@ -5,9 +5,17 @@ label analogues), with the reference's per-holdout semantics
 (`abstract_classifier_model.py:2398-2615`): split → re-fit holdout-biased
 feature models ON THE TRAIN GRAPH → fit classifiers → metric rows tagged
 with holdout / split / model metadata.
+
+Experiment caching mirrors the reference's `@Cache` on `evaluate`
+(`abstract_classifier_model.py:2618-2625`): one `experiments/{task}/{graph}/
+{hash}.csv.gz` per (model, graph, schema, holdouts, features, kwargs) — and
+the top cache layer is disabled when running under multiple workers so
+round-robin workers never race on the same file (`utils/pipeline.py:224-231`).
 """
 from __future__ import annotations
 
+import hashlib
+import os
 import time
 from typing import Any, Dict, List, Optional, Sequence, Union
 
@@ -17,6 +25,7 @@ from ..graph.graph import Graph
 from ..graph.loaders import get_dataset
 from ..models.classifier import AbstractClassifierModel
 from ..models.registry import get_model_from_library
+from ..utils.cache import DEFAULT_CACHE_DIR
 
 TASK_ABSTRACTS = {
     "Edge Prediction": "embiggen_tpu.models.edge_prediction.model",
@@ -43,6 +52,196 @@ def _resolve_models(
     return out
 
 
+def _describe_features(features) -> str:
+    """Stable content descriptor of a feature spec for the experiment-cache
+    key (strings/models hash by parameters, arrays by content)."""
+    if features is None:
+        return "none"
+    if not isinstance(features, (list, tuple)):
+        features = [features]
+    h = hashlib.sha256()
+    for f in features:
+        if isinstance(f, str):
+            h.update(f.encode())
+        elif hasattr(f, "consistent_hash"):
+            h.update(f.consistent_hash().encode())
+        elif hasattr(f, "to_numpy"):
+            h.update(np.ascontiguousarray(f.to_numpy()).tobytes())
+        else:
+            h.update(np.ascontiguousarray(np.asarray(f)).tobytes())
+    return h.hexdigest()[:32]
+
+
+def experiment_cache_path(
+    model: AbstractClassifierModel,
+    graph: Graph,
+    evaluation_schema: str,
+    holdouts_number: int,
+    random_state: int,
+    features_key: str,
+    evaluation_kwargs: Dict[str, Any],
+    cache_dir: Optional[str] = None,
+) -> str:
+    """`experiments/{task}/{graph}/{hash}.csv.gz` (reference layout,
+    `abstract_classifier_model.py:2618-2625`)."""
+    h = hashlib.sha256()
+    for part in (
+        model.consistent_hash(), graph.consistent_hash(), evaluation_schema,
+        holdouts_number, random_state, features_key,
+        repr(sorted(evaluation_kwargs.items())),
+    ):
+        h.update(str(part).encode())
+    return os.path.join(
+        cache_dir or DEFAULT_CACHE_DIR,
+        "experiments",
+        model.task_name().replace(" ", "_"),
+        graph.name.replace(" ", "_"),
+        f"{h.hexdigest()[:32]}.csv.gz",
+    )
+
+
+class _HoldoutMemo:
+    """Shares the (split, re-fitted features) work across models evaluated
+    on the same graph/holdout."""
+
+    def __init__(self, graph, evaluation_schema, random_state,
+                 holdouts_kwargs, node_features):
+        self.graph = graph
+        self.schema = evaluation_schema
+        self.random_state = random_state
+        self.holdouts_kwargs = holdouts_kwargs
+        self.node_features = node_features
+        self._memo: Dict[int, Any] = {}
+
+    def get(self, split_cls, holdout_number: int):
+        if holdout_number not in self._memo:
+            t_split = time.perf_counter()
+            train, test = split_cls.split_graph_following_evaluation_schema(
+                self.graph,
+                self.schema,
+                holdout_number,
+                random_state=self.random_state,
+                holdouts_kwargs=self.holdouts_kwargs,
+            )
+            split_time = time.perf_counter() - t_split
+            t_feat = time.perf_counter()
+            normalized = split_cls.normalize_node_features(
+                train, self.node_features,
+                skip_evaluation_biased_feature=True,
+            )
+            features = AbstractClassifierModel.fit_deferred_features(
+                normalized, train
+            )
+            feature_time = time.perf_counter() - t_feat
+            self._memo[holdout_number] = (
+                train, test, features, split_time, feature_time
+            )
+        return self._memo[holdout_number]
+
+
+def evaluate_model_on_graph(
+    model: AbstractClassifierModel,
+    graph: Graph,
+    evaluation_schema: str,
+    holdouts_number: int,
+    memo: Optional[_HoldoutMemo] = None,
+    node_features=None,
+    node_type_features=None,
+    edge_type_features=None,
+    edge_features=None,
+    random_state: int = 42,
+    holdouts_kwargs: Optional[Dict[str, Any]] = None,
+    number_of_workers: Optional[int] = None,
+    worker_id: Optional[int] = None,
+    enable_cache: bool = False,
+    cache_dir: Optional[str] = None,
+    **evaluation_kwargs,
+):
+    """The model-level holdout harness (reference
+    `AbstractClassifierModel.evaluate`, `abstract_classifier_model.py:2626`):
+    rows = holdouts × {train, test} [× unbalances] for ONE model on ONE
+    graph, cached as a whole when `enable_cache`."""
+    import pandas as pd
+
+    from ..parallel.distributed import holdout_belongs_to_this_worker
+
+    # The top cache layer must be off across workers: they'd race writing
+    # the same file (reference `utils/pipeline.py:224-231`).
+    use_cache = enable_cache and number_of_workers is None
+    path = None
+    if use_cache:
+        feat_key = "|".join(
+            _describe_features(f)
+            for f in (node_features, node_type_features,
+                      edge_type_features, edge_features)
+        )
+        path = experiment_cache_path(
+            model, graph, evaluation_schema, holdouts_number, random_state,
+            feat_key, evaluation_kwargs, cache_dir,
+        )
+        if os.path.exists(path):
+            return pd.read_csv(path, compression="gzip")
+
+    if memo is None:
+        memo = _HoldoutMemo(
+            graph, evaluation_schema, random_state, holdouts_kwargs,
+            node_features,
+        )
+    meta = AbstractClassifierModel.run_metadata()
+    all_rows: List[Dict[str, Any]] = []
+    for holdout_number in range(holdouts_number):
+        if not holdout_belongs_to_this_worker(
+            holdout_number, number_of_workers, worker_id
+        ):
+            continue
+        train, test, features, split_time, feature_time = memo.get(
+            model, holdout_number
+        )
+        m = model.clone()
+        if m.is_stochastic():
+            m.set_random_state(random_state + holdout_number)
+        t_fit = time.perf_counter()
+        m.fit(
+            train, support=train, node_features=features,
+            node_type_features=node_type_features,
+            edge_type_features=edge_type_features,
+            edge_features=edge_features,
+        )
+        fit_time = time.perf_counter() - t_fit
+        t_eval = time.perf_counter()
+        rows = m._evaluate(
+            graph,
+            train,
+            test,
+            support=train,
+            random_state=random_state + holdout_number,
+            **evaluation_kwargs,
+        )
+        eval_time = time.perf_counter() - t_eval
+        for row in rows:
+            row.update(
+                {
+                    "task_name": m.task_name(),
+                    "model_name": m.model_name(),
+                    "library_name": m.library_name(),
+                    "graph_name": graph.name,
+                    "holdout_number": holdout_number,
+                    "evaluation_schema": evaluation_schema,
+                    "split_time": split_time,
+                    "feature_time": feature_time,
+                    "fit_time": fit_time,
+                    "evaluation_time": eval_time,
+                    **meta,
+                }
+            )
+        all_rows.extend(rows)
+    df = pd.DataFrame(all_rows)
+    if use_cache:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        df.to_csv(path, index=False, compression="gzip")
+    return df
+
+
 def classification_evaluation_pipeline(
     evaluation_schema: str,
     holdouts_number: int,
@@ -51,96 +250,63 @@ def classification_evaluation_pipeline(
     task_name: str,
     library_names: Optional[str] = None,
     node_features=None,
+    node_type_features=None,
+    edge_type_features=None,
+    edge_features=None,
     smoke_test: bool = False,
     random_state: int = 42,
     holdouts_kwargs: Optional[Dict[str, Any]] = None,
     number_of_workers: Optional[int] = None,
     worker_id: Optional[int] = None,
+    enable_cache: bool = False,
+    cache_dir: Optional[str] = None,
     verbose: bool = True,
     **evaluation_kwargs,
 ):
     """Run every model on every graph over `holdouts_number` holdouts and
     return the tidy metric DataFrame. With number_of_workers set, holdouts
     are round-robin assigned across workers (the reference's SLURM-level
-    parallelism, `abstract_classifier_model.py:2788-2804`)."""
+    parallelism, `abstract_classifier_model.py:2788-2804`). With
+    `enable_cache` (and a single worker) each (model, graph) experiment is
+    persisted and reloaded on re-runs."""
     import pandas as pd
 
-    from ..parallel.distributed import holdout_belongs_to_this_worker
-
+    enable_cache = enable_cache and not smoke_test
     if not isinstance(graphs, (list, tuple)):
         graphs = [graphs]
-    all_rows: List[Dict[str, Any]] = []
+    frames = []
     for graph in graphs:
         if isinstance(graph, str):
             graph = get_dataset(graph)
         models_resolved = _resolve_models(
             models, task_name, library_names, smoke_test
         )
-        meta = AbstractClassifierModel.run_metadata()
-        for holdout_number in range(holdouts_number):
-            if not holdout_belongs_to_this_worker(
-                holdout_number, number_of_workers, worker_id
-            ):
-                continue
-            split_cls = models_resolved[0]
-            t_split = time.perf_counter()
-            train, test = split_cls.split_graph_following_evaluation_schema(
-                graph,
-                evaluation_schema,
-                holdout_number,
-                random_state=random_state,
-                holdouts_kwargs=holdouts_kwargs,
-            )
-            split_time = time.perf_counter() - t_split
-
-            # Re-fit any feature models on the TRAIN graph only (deferred
-            # holdout-bias semantics).
-            t_feat = time.perf_counter()
-            normalized = split_cls.normalize_node_features(
-                train, node_features, skip_evaluation_biased_feature=True
-            )
-            holdout_features = AbstractClassifierModel.fit_deferred_features(
-                normalized, train
-            )
-            feature_time = time.perf_counter() - t_feat
-
-            for model in models_resolved:
-                model = model.clone()
-                if model.is_stochastic():
-                    model.set_random_state(random_state + holdout_number)
-                t_fit = time.perf_counter()
-                model.fit(
-                    train, support=train, node_features=holdout_features
-                )
-                fit_time = time.perf_counter() - t_fit
-                t_eval = time.perf_counter()
-                rows = model._evaluate(
+        memo = _HoldoutMemo(
+            graph, evaluation_schema, random_state, holdouts_kwargs,
+            node_features,
+        )
+        for model in models_resolved:
+            frames.append(
+                evaluate_model_on_graph(
+                    model,
                     graph,
-                    train,
-                    test,
-                    support=train,
-                    random_state=random_state + holdout_number,
+                    evaluation_schema,
+                    holdouts_number,
+                    memo=memo,
+                    node_features=node_features,
+                    node_type_features=node_type_features,
+                    edge_type_features=edge_type_features,
+                    edge_features=edge_features,
+                    random_state=random_state,
+                    holdouts_kwargs=holdouts_kwargs,
+                    number_of_workers=number_of_workers,
+                    worker_id=worker_id,
+                    enable_cache=enable_cache,
+                    cache_dir=cache_dir,
                     **evaluation_kwargs,
                 )
-                eval_time = time.perf_counter() - t_eval
-                for row in rows:
-                    row.update(
-                        {
-                            "task_name": task_name,
-                            "model_name": model.model_name(),
-                            "library_name": model.library_name(),
-                            "graph_name": graph.name,
-                            "holdout_number": holdout_number,
-                            "evaluation_schema": evaluation_schema,
-                            "split_time": split_time,
-                            "feature_time": feature_time,
-                            "fit_time": fit_time,
-                            "evaluation_time": eval_time,
-                            **meta,
-                        }
-                    )
-                all_rows.extend(rows)
-    return pd.DataFrame(all_rows)
+            )
+    return pd.concat(frames, ignore_index=True) if frames else pd.DataFrame()
 
 
 def edge_prediction_evaluation(
