@@ -43,60 +43,34 @@ DAG_METRICS = ("Ancestors Jaccard", "Ancestors size", "Resnik")
 def _ancestor_indicator(graph: Graph):
     """Sparse boolean Z with Z[v, a] = 1 iff `a` is an ancestor of `v`
     (including v itself), following arcs child -> parent — the same closure
-    `similarities.DAGResnik.fit` uses."""
-    import scipy.sparse as sp
+    `similarities.DAGResnik.fit` uses (vectorized bitset topological sweep)."""
+    from ...similarities import ancestors_csr
 
-    n = graph.number_of_nodes
-    rows, cols = [], []
-    for v in range(n):
-        seen = {v}
-        stack = [v]
-        while stack:
-            u = stack.pop()
-            for p in graph.neighbors(u):
-                p = int(p)
-                if p not in seen:
-                    seen.add(p)
-                    stack.append(p)
-        rows.extend([v] * len(seen))
-        cols.extend(seen)
-    z = sp.csr_matrix(
-        (np.ones(len(rows), np.float64), (rows, cols)), shape=(n, n)
-    )
-    return z
+    return ancestors_csr(graph)
 
 
 def _dag_similarity_matrix(graph: Graph, metric: str):
     import scipy.sparse as sp
 
     n = graph.number_of_nodes
+    if metric == "Resnik":
+        # IC of the Most Informative Common Ancestor per pair — vectorized
+        # IC-ordered-bitset query (similarities.DAGResnik._mica_block).
+        from ...similarities import DAGResnik
+
+        sim = DAGResnik().fit(graph).get_similarities_from_clique_graph_node_ids(
+            np.arange(n)
+        )
+        return sp.csr_matrix(sim)
     z = _ancestor_indicator(graph)
     inter = (z @ z.T).tocoo()
     if metric == "Ancestors size":
         return inter.tocsr()
-    if metric == "Ancestors Jaccard":
-        sizes = np.asarray(z.sum(axis=1)).reshape(-1)
-        union = sizes[inter.row] + sizes[inter.col] - inter.data
-        data = inter.data / np.maximum(union, 1)
-        return sp.csr_matrix((data, (inter.row, inter.col)), shape=(n, n))
-    # Resnik: IC of the Most Informative Common Ancestor per pair. Process
-    # ancestors in decreasing information content; the first ancestor that
-    # covers a pair sets its score.
-    from ...similarities import DAGResnik
-
-    ic = DAGResnik().fit(graph).get_information_content()
-    r = np.zeros((n, n), np.float64)
-    filled = np.zeros((n, n), bool)
-    zc = z.tocsc()
-    for a in np.argsort(-ic):
-        desc = zc.indices[zc.indptr[a]: zc.indptr[a + 1]]
-        if len(desc) == 0:
-            continue
-        ix = np.ix_(desc, desc)
-        sub = filled[ix]
-        r[ix] = np.where(sub, r[ix], ic[a])
-        filled[ix] = True
-    return sp.csr_matrix(r)
+    # Ancestors Jaccard.
+    sizes = np.asarray(z.sum(axis=1)).reshape(-1)
+    union = sizes[inter.row] + sizes[inter.col] - inter.data
+    data = inter.data / np.maximum(union, 1)
+    return sp.csr_matrix((data, (inter.row, inter.col)), shape=(n, n))
 
 
 def _adjacency(graph: Graph, weighted: bool = False):

@@ -92,6 +92,20 @@ def dot(src, dst):
     return jnp.sum(src * dst, axis=-1, keepdims=True)
 
 
+def l1_norm_op(src, dst):
+    """'L1Norm' method: row L1 norm of the signed-difference edge embedding
+    (composition of reference `get_l1_edge_embedding` +
+    `get_l1_norm_edge_embedding`, `edge_transformer.py:85-122`) → [B, 1]."""
+    return l1_norm(src - dst)
+
+
+def l2_norm_op(src, dst):
+    """'L2Norm' method: row L2 norm of the signed-difference edge embedding
+    (composition of reference `get_l1_edge_embedding` +
+    `get_l2_norm_edge_embedding`, `edge_transformer.py:176-189`) → [B, 1]."""
+    return l2_norm(src - dst)
+
+
 # Reference EdgeTransformer method table (edge_transformer.py:348-364).
 EDGE_TRANSFORMER_METHODS: Dict[str, Callable] = {
     "Hadamard": hadamard,
@@ -106,6 +120,11 @@ EDGE_TRANSFORMER_METHODS: Dict[str, Callable] = {
     "Max": maximum,
     "L2Distance": l2_distance,
     "CosineSimilarity": cosine_similarity,
+    # Row-norm operators exposed as module helpers by the reference
+    # (edge_transformer.py:107-122,176-189); registered here as first-class
+    # methods so every reference edge-operator name resolves.
+    "L1Norm": l1_norm_op,
+    "L2Norm": l2_norm_op,
 }
 
 # Reference edge-GCN combination set (abstract_edge_gcn.py:356-370).
@@ -156,6 +175,9 @@ def output_dim(method: str, embedding_dim: int) -> int:
     name = method.lower()
     if name == "concatenate":
         return 2 * embedding_dim
-    if name in ("l2distance", "cosinesimilarity", "dot", "euclideandistance"):
+    if name in (
+        "l2distance", "cosinesimilarity", "dot", "euclideandistance",
+        "l1norm", "l2norm",
+    ):
         return 1
     return embedding_dim

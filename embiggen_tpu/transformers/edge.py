@@ -1,6 +1,8 @@
-"""EdgeTransformer — convert (src, dst) pairs into edge features using the 12
-edge operators, with optional multi-method concatenation and edge-type feature
-concat (reference `embiggen/embedding_transformers/edge_transformer.py:345-718`)."""
+"""EdgeTransformer — convert (src, dst) pairs into edge features using the 14
+edge operators (the reference's 12-method table plus its L1Norm/L2Norm module
+helpers registered as first-class methods), with optional multi-method
+concatenation and edge-type feature concat (reference
+`embiggen/embedding_transformers/edge_transformer.py:345-718`)."""
 from __future__ import annotations
 
 from typing import List, Optional, Union

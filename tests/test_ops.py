@@ -62,6 +62,8 @@ def test_edge_operators_match_reference_semantics():
         "Min": np.minimum(src, dst),
         "Max": np.maximum(src, dst),
         "L2Distance": np.sqrt(((src - dst) ** 2).sum(1, keepdims=True)),
+        "L1Norm": np.abs(src - dst).sum(1, keepdims=True),
+        "L2Norm": np.sqrt(((src - dst) ** 2).sum(1, keepdims=True)),
     }
     for name, expected in cases.items():
         got = np.asarray(resolve(name)(src, dst))
@@ -76,7 +78,8 @@ def test_edge_operators_match_reference_semantics():
         "Concatenate", "Average", "Hadamard", "Maximum", "Minimum",
         "Add", "Subtract", "L1", "L2", "Dot",
     }
-    assert len(EDGE_TRANSFORMER_METHODS) == 12
+    # Reference 12-method table + its L1Norm/L2Norm module helpers.
+    assert len(EDGE_TRANSFORMER_METHODS) == 14
 
 
 def test_auroc_auprc_match_sklearn():

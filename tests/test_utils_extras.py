@@ -49,6 +49,50 @@ def test_dag_resnik():
     assert df.iloc[0]["resnik_score"] == pytest.approx(sim_siblings)
 
 
+def test_dag_resnik_matches_bruteforce_on_random_dag():
+    """Vectorized bitset MICA query vs a per-pair BFS oracle on a random
+    multi-parent DAG (exercises diamond-shaped ancestor overlap)."""
+    from embiggen_tpu.similarities import DAGResnik
+
+    rng = np.random.default_rng(7)
+    n = 120
+    # Random DAG: each non-root picks 1-3 parents with smaller ids.
+    src_l, dst_l = [], []
+    for v in range(1, n):
+        k = int(rng.integers(1, min(3, v) + 1))
+        for p in rng.choice(v, size=k, replace=False):
+            src_l.append(v)
+            dst_l.append(int(p))
+    dag = Graph.from_edge_arrays(
+        np.asarray(src_l), np.asarray(dst_l), n_nodes=n, directed=True,
+        name="rand_dag",
+    )
+    model = DAGResnik().fit(dag)
+    ic = model.get_information_content()
+
+    # Oracle: BFS ancestor sets + max IC over the intersection.
+    ancestors = []
+    for v in range(n):
+        seen = {v}
+        stack = [v]
+        while stack:
+            u = stack.pop()
+            for p in dag.neighbors(u):
+                if int(p) not in seen:
+                    seen.add(int(p))
+                    stack.append(int(p))
+        ancestors.append(seen)
+
+    src_q = rng.integers(0, n, size=40)
+    dst_q = rng.integers(0, n, size=25)
+    got = model.get_similarities_from_bipartite_graph_node_ids(src_q, dst_q)
+    for i, a in enumerate(src_q):
+        for j, b in enumerate(dst_q):
+            common = ancestors[int(a)] & ancestors[int(b)]
+            want = max((ic[c] for c in common), default=0.0)
+            assert got[i, j] == pytest.approx(want), (a, b)
+
+
 def test_embedding_cache(tmp_path, monkeypatch):
     import embiggen_tpu.utils.cache as cache_mod
 
