@@ -56,6 +56,8 @@ class WalkBasedEmbedder(AbstractEmbeddingModel):
         learning_rate_decay: float = 0.9,
         number_of_negative_samples: int = 10,
         use_scale_free_distribution: bool = True,
+        checkpoint_dir: Optional[str] = None,
+        checkpoint_interval: int = 1,
         random_state: int = 42,
         enable_cache: bool = False,
     ):
@@ -71,6 +73,8 @@ class WalkBasedEmbedder(AbstractEmbeddingModel):
         self._learning_rate_decay = learning_rate_decay
         self._number_of_negative_samples = number_of_negative_samples
         self._use_scale_free_distribution = use_scale_free_distribution
+        self._checkpoint_dir = checkpoint_dir
+        self._checkpoint_interval = max(1, checkpoint_interval)
         super().__init__(
             embedding_size=embedding_size,
             enable_cache=enable_cache,
@@ -163,6 +167,32 @@ class WalkBasedEmbedder(AbstractEmbeddingModel):
         params = self._init_params(graph, key)
         steps_per_epoch = max(1, graph.number_of_nodes // self._batch_size)
 
+        # Mid-training checkpointing (SURVEY §5.4: a capability the reference
+        # lacks). Per-epoch PRNG keys are fold_in(key, epoch) and lr is a pure
+        # function of the epoch index, so resuming from (params, epoch) is
+        # bit-identical to an uninterrupted run.
+        ckpt_path = None
+        start_epoch = 0
+        if self._checkpoint_dir is not None:
+            import os
+
+            from ...utils.checkpoint import (
+                checkpoint_exists,
+                load_pytree,
+                save_pytree,
+            )
+
+            ckpt_path = os.path.join(self._checkpoint_dir, "embed_state")
+            if checkpoint_exists(ckpt_path):
+                state = load_pytree(
+                    ckpt_path,
+                    like={"params": params, "epoch": np.int64(0)},
+                )
+                params = jax.tree_util.tree_map(
+                    jnp.asarray, state["params"]
+                )
+                start_epoch = int(state["epoch"])
+
         step_fn = self._step
 
         # dg is a jit ARGUMENT (pytree), not a closure constant: captured
@@ -179,13 +209,24 @@ class WalkBasedEmbedder(AbstractEmbeddingModel):
             return params, losses.mean()
 
         last_loss = None
-        for epoch in range(self._epochs):
+        for epoch in range(start_epoch, self._epochs):
             lr = jnp.float32(
                 self._learning_rate * self._learning_rate_decay ** epoch
             )
             params, last_loss = epoch_fn(
                 dg, params, jax.random.fold_in(key, epoch), lr
             )
+            if (
+                ckpt_path is not None
+                and (epoch + 1) % self._checkpoint_interval == 0
+            ):
+                save_pytree(
+                    ckpt_path,
+                    {
+                        "params": jax.tree_util.tree_map(np.asarray, params),
+                        "epoch": np.int64(epoch + 1),
+                    },
+                )
         self._last_loss = None if last_loss is None else float(last_loss)
         return self._extract(params, graph)
 

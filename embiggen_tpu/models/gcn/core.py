@@ -256,6 +256,8 @@ class TrainLoop:
         reduce_lr_factor: float = 0.5,
         steps_per_epoch: int = 1,
         verbose: bool = False,
+        checkpoint_dir: Optional[str] = None,
+        checkpoint_interval: int = 10,
     ):
         self.epochs = epochs
         self.learning_rate = learning_rate
@@ -265,10 +267,25 @@ class TrainLoop:
         self.reduce_lr_factor = reduce_lr_factor
         self.steps_per_epoch = steps_per_epoch
         self.verbose = verbose
+        self.checkpoint_dir = checkpoint_dir
+        self.checkpoint_interval = max(1, checkpoint_interval)
+
+    def _ckpt_path(self) -> Optional[str]:
+        if self.checkpoint_dir is None:
+            return None
+        import os
+
+        return os.path.join(self.checkpoint_dir, "train_state")
 
     def run(self, params, loss_step, key):
         """loss_step(params, key) -> (loss, grads). One epoch =
-        `steps_per_epoch` optimizer steps scanned inside a single jit."""
+        `steps_per_epoch` optimizer steps scanned inside a single jit.
+
+        If `checkpoint_dir` is set, the FULL host loop state (params,
+        optimizer state, PRNG key, callback counters, loss history) is saved
+        every `checkpoint_interval` epochs and restored on the next call, so
+        a killed run resumes bit-identically (mid-training checkpointing is a
+        capability the reference lacks — SURVEY §5.4)."""
         optimizer = optax.adam(self.learning_rate)
         opt_state = optimizer.init(params)
         n_steps = self.steps_per_epoch
@@ -295,7 +312,30 @@ class TrainLoop:
         lr_patience = 0
         lr_scale = 1.0
         history = []
-        for epoch in range(self.epochs):
+        start_epoch = 0
+
+        ckpt_path = self._ckpt_path()
+        if ckpt_path is not None:
+            from ...utils.checkpoint import checkpoint_exists, load_pytree
+
+            if checkpoint_exists(ckpt_path):
+                like = self._pack_state(
+                    params, opt_state, key, 0, best, best_params,
+                    patience, lr_patience, lr_scale, history,
+                )
+                state = load_pytree(ckpt_path, like=like)
+                params = state["params"]
+                opt_state = state["opt_state"]
+                key = jnp.asarray(state["key"], jnp.uint32)
+                start_epoch = int(state["epoch"])
+                best = float(state["best"])
+                best_params = state["best_params"]
+                patience = int(state["patience"])
+                lr_patience = int(state["lr_patience"])
+                lr_scale = float(state["lr_scale"])
+                history = [float(x) for x in np.asarray(state["history"])]
+
+        for epoch in range(start_epoch, self.epochs):
             key, sub = jax.random.split(key)
             params, opt_state, loss = step(
                 params, opt_state, sub, jnp.float32(lr_scale)
@@ -318,4 +358,34 @@ class TrainLoop:
                     lr_patience = 0
                 if patience >= self.early_stopping_patience:
                     break
+            if (
+                ckpt_path is not None
+                and (epoch + 1) % self.checkpoint_interval == 0
+            ):
+                from ...utils.checkpoint import save_pytree
+
+                save_pytree(
+                    ckpt_path,
+                    self._pack_state(
+                        params, opt_state, key, epoch + 1, best,
+                        best_params, patience, lr_patience, lr_scale,
+                        history,
+                    ),
+                )
         return best_params, history
+
+    @staticmethod
+    def _pack_state(params, opt_state, key, epoch, best, best_params,
+                    patience, lr_patience, lr_scale, history):
+        return {
+            "params": params,
+            "opt_state": opt_state,
+            "key": np.asarray(key),
+            "epoch": np.int64(epoch),
+            "best": np.float64(best),
+            "best_params": best_params,
+            "patience": np.int64(patience),
+            "lr_patience": np.int64(lr_patience),
+            "lr_scale": np.float64(lr_scale),
+            "history": np.asarray(history, np.float64),
+        }

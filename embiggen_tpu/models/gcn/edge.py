@@ -61,6 +61,8 @@ class _EdgeGCNBase(AbstractClassifierModel):
         epochs: int = 200,
         learning_rate: float = 0.001,
         early_stopping_patience: int = 20,
+        checkpoint_dir: Optional[str] = None,
+        checkpoint_interval: int = 10,
         random_state: int = 42,
     ):
         self._kernels = (
@@ -87,6 +89,8 @@ class _EdgeGCNBase(AbstractClassifierModel):
         self._epochs = epochs
         self._learning_rate = learning_rate
         self._early_stopping_patience = early_stopping_patience
+        self._checkpoint_dir = checkpoint_dir
+        self._checkpoint_interval = checkpoint_interval
         self._needs_edge_lookup = False
         self._static_edge_feats: List[Any] = []
         self._edge_type_feat_tables: List[Any] = []
@@ -131,6 +135,8 @@ class _EdgeGCNBase(AbstractClassifierModel):
             "epochs": self._epochs,
             "learning_rate": self._learning_rate,
             "early_stopping_patience": self._early_stopping_patience,
+            "checkpoint_dir": self._checkpoint_dir,
+            "checkpoint_interval": self._checkpoint_interval,
         }
 
     @classmethod
@@ -382,6 +388,8 @@ class GCNEdgePrediction(_EdgeGCNBase, AbstractEdgePredictionModel):
             steps_per_epoch=max(
                 1, graph.number_of_directed_edges // batch_size
             ),
+            checkpoint_dir=self._checkpoint_dir,
+            checkpoint_interval=self._checkpoint_interval,
         )
         self._params, self._history = loop.run(
             params, jax.value_and_grad(loss_fn), key
@@ -476,6 +484,8 @@ class GCNEdgeLabelPrediction(_EdgeGCNBase, AbstractEdgeLabelPredictionModel):
             epochs=self._epochs, learning_rate=self._learning_rate,
             early_stopping_patience=self._early_stopping_patience,
             steps_per_epoch=max(1, n_known // batch_size),
+            checkpoint_dir=self._checkpoint_dir,
+            checkpoint_interval=self._checkpoint_interval,
         )
         self._params, self._history = loop.run(
             params, jax.value_and_grad(loss_fn), key

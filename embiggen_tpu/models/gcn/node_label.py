@@ -50,6 +50,8 @@ class GCNNodeLabelPrediction(AbstractNodeLabelPredictionModel):
         epochs: int = 200,
         learning_rate: float = 0.01,
         early_stopping_patience: int = 20,
+        checkpoint_dir: Optional[str] = None,
+        checkpoint_interval: int = 10,
         random_state: int = 42,
     ):
         self._kernels = (
@@ -68,6 +70,8 @@ class GCNNodeLabelPrediction(AbstractNodeLabelPredictionModel):
         self._epochs = epochs
         self._learning_rate = learning_rate
         self._early_stopping_patience = early_stopping_patience
+        self._checkpoint_dir = checkpoint_dir
+        self._checkpoint_interval = checkpoint_interval
         super().__init__(random_state=random_state)
 
     # ------------------------------------------------------------------ naming
@@ -100,6 +104,8 @@ class GCNNodeLabelPrediction(AbstractNodeLabelPredictionModel):
             "epochs": self._epochs,
             "learning_rate": self._learning_rate,
             "early_stopping_patience": self._early_stopping_patience,
+            "checkpoint_dir": self._checkpoint_dir,
+            "checkpoint_interval": self._checkpoint_interval,
         }
 
     @classmethod
@@ -198,6 +204,8 @@ class GCNNodeLabelPrediction(AbstractNodeLabelPredictionModel):
             epochs=self._epochs,
             learning_rate=self._learning_rate,
             early_stopping_patience=self._early_stopping_patience,
+            checkpoint_dir=self._checkpoint_dir,
+            checkpoint_interval=self._checkpoint_interval,
         )
         self._params, self._history = loop.run(
             params, jax.value_and_grad(loss_fn), key

@@ -1,6 +1,12 @@
 """Mid-training step checkpointing — a capability the reference LACKS
-(SURVEY.md §5.4: "No mid-training checkpointing anywhere"), added here via
-orbax so long embedding/GCN runs on pods can resume.
+(SURVEY.md §5.4: "No mid-training checkpointing anywhere"), wired into
+`TrainLoop.run` (GCN classifiers) and `WalkBasedEmbedder._fit_transform`
+(walk embedders) so long runs resume bit-identically after a kill.
+
+Format: a single .npz of host numpy leaves (atomic via rename). This is the
+default because it is backend-agnostic and fast on remote-device setups
+(orbax's per-save device sync costs ~100s over an axon TPU tunnel for even
+tiny trees). For multi-host sharded pytrees pass `backend="orbax"`.
 """
 from __future__ import annotations
 
@@ -8,44 +14,57 @@ import os
 from typing import Any, Optional
 
 
-def save_pytree(path: str, pytree: Any) -> None:
-    """Atomically save a jax pytree (orbax if available, else npz)."""
+def checkpoint_exists(path: str) -> bool:
+    """True if `save_pytree(path, ...)` previously wrote a checkpoint here
+    (npz file or orbax directory)."""
     path = os.path.abspath(path)
-    try:
+    return os.path.exists(path + ".npz") or os.path.isdir(path)
+
+
+def save_pytree(path: str, pytree: Any, backend: str = "npz") -> None:
+    """Atomically save a jax/numpy pytree.
+
+    backend="npz" (default): host .npz, leaves fetched to numpy first.
+    backend="orbax": orbax PyTreeCheckpointer (sharded/multi-host trees).
+    """
+    path = os.path.abspath(path)
+    if backend == "orbax":
         import orbax.checkpoint as ocp
 
         ckptr = ocp.PyTreeCheckpointer()
         ckptr.save(path, pytree, force=True)
-    except Exception:
-        import numpy as np
-        import jax
+        return
+    import numpy as np
+    import jax
 
-        leaves, treedef = jax.tree_util.tree_flatten(pytree)
-        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-        np.savez(
-            path + ".npz",
-            treedef=np.frombuffer(repr(treedef).encode(), dtype=np.uint8),
-            **{f"leaf_{i}": np.asarray(l) for i, l in enumerate(leaves)},
-        )
+    leaves, _ = jax.tree_util.tree_flatten(pytree)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    tmp = path + ".npz.tmp"
+    with open(tmp, "wb") as fh:
+        np.savez(fh, **{f"leaf_{i}": np.asarray(l) for i, l in enumerate(leaves)})
+    os.replace(tmp, path + ".npz")
 
 
 def load_pytree(path: str, like: Optional[Any] = None) -> Any:
+    """Restore a pytree saved by `save_pytree`. `like` provides the tree
+    structure for the npz format (required); orbax directories restore with
+    or without it."""
     path = os.path.abspath(path)
-    try:
-        import orbax.checkpoint as ocp
+    import numpy as np
+    import jax
 
-        ckptr = ocp.PyTreeCheckpointer()
-        return ckptr.restore(path, item=like)
-    except Exception:
-        import numpy as np
-        import jax
-
+    if os.path.exists(path + ".npz"):
         if like is None:
-            raise
+            raise ValueError(
+                "load_pytree needs `like` (a structure template) for npz "
+                f"checkpoints: {path}.npz"
+            )
         data = np.load(path + ".npz")
-        leaves = [
-            data[f"leaf_{i}"]
-            for i in range(len([k for k in data.files if k.startswith("leaf_")]))
-        ]
+        n = sum(1 for k in data.files if k.startswith("leaf_"))
+        leaves = [data[f"leaf_{i}"] for i in range(n)]
         treedef = jax.tree_util.tree_structure(like)
         return jax.tree_util.tree_unflatten(treedef, leaves)
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.PyTreeCheckpointer()
+    return ckptr.restore(path, item=like)

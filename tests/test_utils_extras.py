@@ -145,3 +145,62 @@ def test_pytree_checkpoint(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(restored["b"]["c"]), np.ones((2, 3))
     )
+
+
+def test_trainloop_kill_and_resume_bit_identical(tmp_path):
+    """A checkpointed run killed mid-training and resumed produces params
+    bit-identical to an uninterrupted run (VERDICT r1 item 10)."""
+    import jax
+    import jax.numpy as jnp
+
+    from embiggen_tpu.models.gcn.core import TrainLoop, init_mlp
+
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(32, 4)), jnp.float32)
+    y = jnp.asarray(np.random.default_rng(1).normal(size=(32, 1)), jnp.float32)
+
+    def loss_fn(params, key):
+        h = x
+        for lyr in params:
+            h = h @ lyr["w"] + lyr["b"]
+        return ((h - y) ** 2).mean()
+
+    loss_step = jax.value_and_grad(loss_fn)
+    params0 = init_mlp(jax.random.PRNGKey(0), [4, 8, 1])
+
+    full, hist_full = TrainLoop(epochs=8, steps_per_epoch=2).run(
+        params0, loss_step, jax.random.PRNGKey(42)
+    )
+    d = str(tmp_path / "ck")
+    # "Kill" after 4 epochs (truncated run saves state every epoch) ...
+    TrainLoop(
+        epochs=4, steps_per_epoch=2, checkpoint_dir=d, checkpoint_interval=1
+    ).run(params0, loss_step, jax.random.PRNGKey(42))
+    # ... then resume to the full 8.
+    resumed, hist_res = TrainLoop(
+        epochs=8, steps_per_epoch=2, checkpoint_dir=d, checkpoint_interval=1
+    ).run(params0, loss_step, jax.random.PRNGKey(42))
+
+    for a, b in zip(
+        jax.tree_util.tree_leaves(full), jax.tree_util.tree_leaves(resumed)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_allclose(hist_full, hist_res)
+
+
+def test_walk_embedder_kill_and_resume_bit_identical(tmp_path):
+    from embiggen_tpu.models.embedders import SkipGram
+
+    g = karate_club()
+    kwargs = dict(
+        embedding_size=8, epochs=4, batch_size=16, walk_length=8,
+        window_size=2, number_of_negative_samples=4, random_state=7,
+    )
+    full = SkipGram(**kwargs).fit_transform(g).node_embeddings[0]
+
+    d = str(tmp_path / "ck")
+    # Truncated (killed) run: 2 of 4 epochs, checkpointing each epoch.
+    SkipGram(**{**kwargs, "epochs": 2}, checkpoint_dir=d).fit_transform(g)
+    resumed = SkipGram(**kwargs, checkpoint_dir=d).fit_transform(
+        g
+    ).node_embeddings[0]
+    np.testing.assert_array_equal(np.asarray(full), np.asarray(resumed))
