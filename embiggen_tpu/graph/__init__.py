@@ -1,7 +1,12 @@
 """Graph core: CSR container, loaders, generators, holdouts, kernels, metrics."""
 from .graph import Graph, DeviceGraph, build_alias_tables
 from .loaders import from_csv, from_pandas, get_dataset, karate_club, small_ppi
-from .generators import barabasi_albert, erdos_renyi
+from .generators import (
+    barabasi_albert,
+    erdos_renyi,
+    planted_partition,
+    random_geometric,
+)
 from .holdouts import (
     connected_holdout,
     random_holdout,
@@ -18,7 +23,8 @@ from .metrics import edge_metrics, all_edge_metrics, EDGE_METRIC_NAMES
 __all__ = [
     "Graph", "DeviceGraph", "build_alias_tables",
     "from_csv", "from_pandas", "get_dataset", "karate_club", "small_ppi",
-    "barabasi_albert", "erdos_renyi",
+    "barabasi_albert", "erdos_renyi", "planted_partition",
+    "random_geometric",
     "connected_holdout", "random_holdout", "edge_prediction_kfold",
     "node_label_holdout", "node_label_kfold",
     "edge_label_holdout", "edge_label_kfold",

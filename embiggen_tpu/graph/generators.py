@@ -75,3 +75,108 @@ def erdos_renyi(
         node_type_ptr=node_type_ptr,
         node_type_ids=node_type_ids,
     )
+
+
+def planted_partition(
+    n_nodes: int = 1000,
+    n_communities: int = 4,
+    p_in: float = 0.03,
+    p_out: float = 0.001,
+    seed: int = 42,
+    name: Optional[str] = None,
+) -> Graph:
+    """Planted-partition (stochastic block model) graph with community ids as
+    node types — the deterministic Cora-scale fixture for downstream-quality
+    gates (the reference tests on downloaded Cora/CIO/Usair97,
+    `tests/test_edge_prediction_pipeline.py:38-45`; this environment has no
+    egress, so a seeded SBM with strong community structure stands in).
+
+    With p_in >> p_out, link prediction and community (node-label)
+    classification are both solvable well above 0.9, so quality gates can
+    assert real thresholds rather than "runs without crashing".
+    """
+    rng = np.random.default_rng(seed)
+    comm = rng.integers(0, n_communities, size=n_nodes).astype(np.int32)
+    # Sample undirected candidate pairs in blocks: expected edge count is
+    # n^2/2 * p_avg; draw i<j uniformly and accept by the block probability.
+    p_max = max(p_in, p_out)
+    n_cand = int(n_nodes * (n_nodes - 1) / 2 * p_max * 1.3) + 16
+    src = rng.integers(0, n_nodes, size=n_cand)
+    dst = rng.integers(0, n_nodes, size=n_cand)
+    ok = src < dst
+    src, dst = src[ok], dst[ok]
+    p_pair = np.where(comm[src] == comm[dst], p_in, p_out)
+    keep = rng.random(len(src)) < p_pair / p_max
+    src, dst = src[keep], dst[keep]
+    # Connect isolated nodes to a random same-community peer so holdouts and
+    # walk kernels see a single usable graph.
+    deg = np.bincount(np.concatenate([src, dst]), minlength=n_nodes)
+    isolated = np.flatnonzero(deg == 0)
+    if len(isolated):
+        partners = (isolated + 1 + rng.integers(0, n_nodes - 1, len(isolated))) % n_nodes
+        src = np.concatenate([src, isolated])
+        dst = np.concatenate([dst, partners])
+    return Graph.from_edge_arrays(
+        src,
+        dst,
+        n_nodes=n_nodes,
+        directed=False,
+        name=name or f"SBM(n={n_nodes},k={n_communities})",
+        node_type_ptr=np.arange(n_nodes + 1, dtype=np.int64),
+        node_type_ids=comm,
+        node_type_names=[f"community_{c}" for c in range(n_communities)],
+    )
+
+
+def random_geometric(
+    n_nodes: int = 1000,
+    radius: float = 0.07,
+    seed: int = 42,
+    n_grid_types: int = 2,
+    name: Optional[str] = None,
+) -> Graph:
+    """Random geometric graph: points uniform in the unit square, edges
+    between pairs closer than `radius`; node types = grid-cell labels
+    (n_grid_types × n_grid_types quadrants). Unlike an SBM — whose Bayes
+    link-prediction ceiling is the community posterior (~0.85 AUROC) —
+    distances are fully learnable from walks, so embedding quality gates can
+    assert ≥0.9 AUPRC with real headroom."""
+    rng = np.random.default_rng(seed)
+    pts = rng.random((n_nodes, 2))
+    # Chunk the O(n^2) distance computation to bound memory.
+    src_l, dst_l = [], []
+    chunk = max(1, (1 << 24) // n_nodes)
+    for i0 in range(0, n_nodes, chunk):
+        d2 = ((pts[i0: i0 + chunk, None, :] - pts[None, :, :]) ** 2).sum(-1)
+        ii, jj = np.nonzero(d2 < radius * radius)
+        ii = ii + i0
+        keep = ii < jj  # upper triangle only
+        src_l.append(ii[keep])
+        dst_l.append(jj[keep])
+    src = np.concatenate(src_l)
+    dst = np.concatenate(dst_l)
+    deg = np.bincount(np.concatenate([src, dst]), minlength=n_nodes)
+    isolated = np.flatnonzero(deg == 0)
+    if len(isolated):
+        # Attach isolated points to their nearest neighbour.
+        d2 = ((pts[isolated, None, :] - pts[None, :, :]) ** 2).sum(-1)
+        d2[np.arange(len(isolated)), isolated] = np.inf
+        src = np.concatenate([src, isolated])
+        dst = np.concatenate([dst, d2.argmin(axis=1)])
+    cell = (
+        np.minimum((pts[:, 0] * n_grid_types).astype(np.int32), n_grid_types - 1)
+        * n_grid_types
+        + np.minimum((pts[:, 1] * n_grid_types).astype(np.int32), n_grid_types - 1)
+    ).astype(np.int32)
+    return Graph.from_edge_arrays(
+        src,
+        dst,
+        n_nodes=n_nodes,
+        directed=False,
+        name=name or f"RGG(n={n_nodes},r={radius})",
+        node_type_ptr=np.arange(n_nodes + 1, dtype=np.int64),
+        node_type_ids=cell,
+        node_type_names=[
+            f"cell_{i}" for i in range(n_grid_types * n_grid_types)
+        ],
+    )

@@ -25,6 +25,7 @@ from ...ops.negatives import (
 from ..abstract import AbstractEmbeddingModel
 from ..embedding_result import EmbeddingResult
 from ..registry import register_model
+from .walk_based import _mean_scatter, _st_clip
 
 
 class _LINEBase(AbstractEmbeddingModel):
@@ -38,6 +39,7 @@ class _LINEBase(AbstractEmbeddingModel):
         learning_rate_decay: float = 0.9,
         use_scale_free_distribution: bool = True,
         avoid_false_negatives: bool = False,
+        clipping_value: float = 6.0,
         random_state: int = 42,
         enable_cache: bool = False,
     ):
@@ -48,6 +50,7 @@ class _LINEBase(AbstractEmbeddingModel):
         self._learning_rate_decay = learning_rate_decay
         self._use_scale_free_distribution = use_scale_free_distribution
         self._avoid_false_negatives = avoid_false_negatives
+        self._clipping_value = clipping_value
         super().__init__(
             embedding_size=embedding_size, enable_cache=enable_cache,
             random_state=random_state,
@@ -63,6 +66,7 @@ class _LINEBase(AbstractEmbeddingModel):
             "learning_rate_decay": self._learning_rate_decay,
             "use_scale_free_distribution": self._use_scale_free_distribution,
             "avoid_false_negatives": self._avoid_false_negatives,
+            "clipping_value": self._clipping_value,
         }
 
     @classmethod
@@ -146,24 +150,32 @@ class FirstOrderLINE(_LINEBase):
         src, dst, neg = self._sample_batch(dg, key)
         emb = params["node_embedding"]
 
+        clip = self._clipping_value
+
         def loss_fn(e_src, e_dst, e_neg):
-            pos_logit = jnp.sum(e_src * e_dst, axis=1)
-            neg_logit = jnp.einsum("bd,bkd->bk", e_src, e_neg)
+            # SUM over the batch (per-sample SGD semantics, as in ensmallen's
+            # Rust LINE trainer); logits straight-through-clipped at
+            # ±clipping_value (see walk_based._st_clip); the mean-scatter
+            # below averages per-row accumulation. Reported loss is the mean.
+            pos_logit = _st_clip(jnp.sum(e_src * e_dst, axis=1), clip)
+            neg_logit = _st_clip(
+                jnp.einsum("bd,bkd->bk", e_src, e_neg), clip
+            )
             return (
-                jax.nn.softplus(-pos_logit).mean()
-                + jax.nn.softplus(neg_logit).sum(axis=1).mean()
+                jax.nn.softplus(-pos_logit).sum()
+                + jax.nn.softplus(neg_logit).sum()
             )
 
         loss, (g_s, g_d, g_n) = jax.value_and_grad(loss_fn, argnums=(0, 1, 2))(
             emb[src], emb[dst], emb[neg]
         )
         d = self.embedding_size
-        params["node_embedding"] = (
-            emb.at[src].add(-lr * g_s)
-            .at[dst].add(-lr * g_d)
-            .at[neg.reshape(-1)].add(-lr * g_n.reshape(-1, d))
-        )
-        return params, loss
+        # One mean-accumulated full-lr step per touched row per batch (same
+        # scatter policy as the walk embedders — see walk_based._mean_scatter).
+        idx = jnp.concatenate([src, dst, neg.reshape(-1)])
+        g_all = jnp.concatenate([g_s, g_d, g_n.reshape(-1, d)])
+        params["node_embedding"] = _mean_scatter(emb, idx, g_all, lr)
+        return params, loss / len(src)
 
     def _extract(self, params, graph):
         return EmbeddingResult(
@@ -196,24 +208,28 @@ class SecondOrderLINE(_LINEBase):
         src, dst, neg = self._sample_batch(dg, key)
         emb, ctx = params["node_embedding"], params["context_embedding"]
 
+        clip = self._clipping_value
+
         def loss_fn(e_src, c_dst, c_neg):
-            pos_logit = jnp.sum(e_src * c_dst, axis=1)
-            neg_logit = jnp.einsum("bd,bkd->bk", e_src, c_neg)
+            # SUM over the batch — see FirstOrderLINE.loss_fn.
+            pos_logit = _st_clip(jnp.sum(e_src * c_dst, axis=1), clip)
+            neg_logit = _st_clip(
+                jnp.einsum("bd,bkd->bk", e_src, c_neg), clip
+            )
             return (
-                jax.nn.softplus(-pos_logit).mean()
-                + jax.nn.softplus(neg_logit).sum(axis=1).mean()
+                jax.nn.softplus(-pos_logit).sum()
+                + jax.nn.softplus(neg_logit).sum()
             )
 
         loss, (g_s, g_d, g_n) = jax.value_and_grad(loss_fn, argnums=(0, 1, 2))(
             emb[src], ctx[dst], ctx[neg]
         )
         d = self.embedding_size
-        params["node_embedding"] = emb.at[src].add(-lr * g_s)
-        params["context_embedding"] = (
-            ctx.at[dst].add(-lr * g_d)
-            .at[neg.reshape(-1)].add(-lr * g_n.reshape(-1, d))
-        )
-        return params, loss
+        params["node_embedding"] = _mean_scatter(emb, src, g_s, lr)
+        idx = jnp.concatenate([dst, neg.reshape(-1)])
+        g_all = jnp.concatenate([g_d, g_n.reshape(-1, d)])
+        params["context_embedding"] = _mean_scatter(ctx, idx, g_all, lr)
+        return params, loss / len(src)
 
     def _extract(self, params, graph):
         return EmbeddingResult(

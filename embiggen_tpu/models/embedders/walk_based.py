@@ -56,6 +56,7 @@ class WalkBasedEmbedder(AbstractEmbeddingModel):
         learning_rate_decay: float = 0.9,
         number_of_negative_samples: int = 10,
         use_scale_free_distribution: bool = True,
+        clipping_value: float = 6.0,
         checkpoint_dir: Optional[str] = None,
         checkpoint_interval: int = 1,
         random_state: int = 42,
@@ -73,6 +74,7 @@ class WalkBasedEmbedder(AbstractEmbeddingModel):
         self._learning_rate_decay = learning_rate_decay
         self._number_of_negative_samples = number_of_negative_samples
         self._use_scale_free_distribution = use_scale_free_distribution
+        self._clipping_value = clipping_value
         self._checkpoint_dir = checkpoint_dir
         self._checkpoint_interval = max(1, checkpoint_interval)
         super().__init__(
@@ -101,6 +103,7 @@ class WalkBasedEmbedder(AbstractEmbeddingModel):
             "learning_rate_decay": self._learning_rate_decay,
             "number_of_negative_samples": self._number_of_negative_samples,
             "use_scale_free_distribution": self._use_scale_free_distribution,
+            "clipping_value": self._clipping_value,
         }
 
     @classmethod
@@ -231,6 +234,31 @@ class WalkBasedEmbedder(AbstractEmbeddingModel):
         return self._extract(params, graph)
 
 
+def _st_clip(x, c):
+    """Straight-through score clip: forward value is clip(x, -c, c), but the
+    gradient passes through unscaled — so downstream sigmoids evaluate at the
+    clipped score (word2vec/ensmallen `clipping_value` semantics: the update
+    is `target - sigmoid(clip(s))`, bounded but never zeroed the way a hard
+    clip's dead zone would)."""
+    return x + jax.lax.stop_gradient(jnp.clip(x, -c, c) - x)
+
+
+def _mean_scatter(table, idx, grads, lr):
+    """SGD scatter-update with per-row MEAN accumulation: a row appearing k
+    times in `idx` receives the AVERAGE of its k pair-gradients, once, at
+    full lr. This makes the per-row step size invariant to both graph size
+    and batch revisit count — a sum (word2vec's sequential per-pair updates
+    collapsed into one batch) explodes on small graphs where each row is
+    revisited dozens of times per batch, while a batch-mean (Keras reduction
+    semantics) vanishes on large graphs where each row appears in a tiny
+    fraction of pairs. Only an [N] count vector is materialized."""
+    counts = jnp.zeros((table.shape[0],), jnp.float32).at[idx].add(1.0)
+    scale = 1.0 / jnp.maximum(counts[idx], 1.0)
+    if grads.ndim > 1:
+        scale = scale[:, None]
+    return table.at[idx].add(-lr * grads * scale)
+
+
 @register_model
 class SkipGram(WalkBasedEmbedder):
     """Node2Vec SkipGram with NCE loss over shared scale-free negatives —
@@ -287,15 +315,25 @@ class SkipGram(WalkBasedEmbedder):
         band = (jnp.abs(off) <= w) & (off != 0)              # [L, L]
         pair_mask = (center_ok[:, None] & band).astype(jnp.float32)
         n_centers = b * (length - 2 * w)
+        clip = self._clipping_value
 
         def loss_fn(w_rows, c_rows, b_rows, neg_emb, neg_b):
             # w_rows, c_rows: [B, L, D]; scores for all (center, context).
             # Positive target is 1/(2w) per context — exact tf.nn.nce_loss
-            # num_true semantics (see ops/losses.nce_loss).
+            # num_true semantics (see ops/losses.nce_loss). The loss is a
+            # SUM over pairs; the `_mean_scatter` row update below then
+            # averages each row's accumulated pair-gradients, giving one
+            # full-lr SGD step per touched row per batch — invariant to
+            # graph size (a Keras-style batch mean vanishes at 1M nodes) and
+            # to revisit count (a raw sum explodes on 34-node graphs).
+            # Scores are clipped at ±clipping_value via a straight-through
+            # clip (reference ensmallen SkipGram `clipping_value=6.0`,
+            # `node2vec_skipgram.py:16`).
             scores = jnp.einsum(
                 "bld,bmd->blm", w_rows, c_rows,
                 preferred_element_type=jnp.float32,
             ) + b_rows[:, None, :]
+            scores = _st_clip(scores, clip)
             pos_loss = (
                 (jax.nn.softplus(scores) - scores / (2 * w)) * pair_mask[None]
             ).sum()
@@ -303,11 +341,12 @@ class SkipGram(WalkBasedEmbedder):
                 "bld,kd->blk", w_rows, neg_emb,
                 preferred_element_type=jnp.float32,
             ) + neg_b[None, None, :]
+            neg_scores = _st_clip(neg_scores, clip)
             neg_loss = (
                 jax.nn.softplus(neg_scores)
                 * center_ok.astype(jnp.float32)[None, :, None]
             ).sum()
-            return (pos_loss + neg_loss) / n_centers
+            return pos_loss + neg_loss
 
         w_rows = params["node_embedding"][walks]
         c_rows = params["context_embedding"][walks]
@@ -319,20 +358,21 @@ class SkipGram(WalkBasedEmbedder):
         )
         g_w, g_c, g_b, g_neg, g_nb = grads
         d = self.embedding_size
-        params["node_embedding"] = (
-            params["node_embedding"].at[flat].add(-lr * g_w.reshape(-1, d))
+        # Walk rows: mean-accumulated (one full-lr step per touched row).
+        # Shared negatives: full SUMMED gradient — the repulsive force must
+        # scale with how many centers each negative was contrasted against,
+        # or embeddings collapse into an uninformative cone (verified on the
+        # SBM/karate separation harness; the st_clip bounds each term).
+        params["node_embedding"] = _mean_scatter(
+            params["node_embedding"], flat, g_w.reshape(-1, d), lr
         )
-        params["context_embedding"] = (
-            params["context_embedding"]
-            .at[flat].add(-lr * g_c.reshape(-1, d))
-            .at[negs].add(-lr * g_neg)
-        )
-        params["context_bias"] = (
-            params["context_bias"]
-            .at[flat].add(-lr * g_b.reshape(-1))
-            .at[negs].add(-lr * g_nb)
-        )
-        return params, loss
+        params["context_embedding"] = _mean_scatter(
+            params["context_embedding"], flat, g_c.reshape(-1, d), lr
+        ).at[negs].add(-lr * g_neg)
+        params["context_bias"] = _mean_scatter(
+            params["context_bias"], flat, g_b.reshape(-1), lr
+        ).at[negs].add(-lr * g_nb)
+        return params, loss / n_centers
 
     def _extract(self, params, graph):
         return EmbeddingResult(
@@ -396,8 +436,12 @@ class CBOW(WalkBasedEmbedder):
         band = ((jnp.abs(off) <= w) & (off != 0)).astype(jnp.float32)
         avg = band / (2 * w)                                  # [L, L]
         n_centers = b * (length - 2 * w)
+        clip = self._clipping_value
 
         def loss_fn(in_rows, out_rows, out_b, neg_emb, neg_b):
+            # SUM over centres (per-example SGD semantics, as in the
+            # SkipGram step above) with logits clipped at ±clipping_value
+            # (ensmallen `clipping_value=6.0`).
             hidden = jnp.einsum(
                 "lm,bmd->bld", avg, in_rows,
                 preferred_element_type=jnp.float32,
@@ -410,8 +454,9 @@ class CBOW(WalkBasedEmbedder):
             logits = jnp.concatenate(
                 [true_logit[..., None], neg_logits], axis=2
             )
+            logits = _st_clip(logits, clip)
             per = -jax.nn.log_softmax(logits, axis=2)[..., 0]   # [B, L]
-            return (per * center_ok[None, :]).sum() / n_centers
+            return (per * center_ok[None, :]).sum()
 
         in_rows = params["node_embedding"][walks]
         out_rows = params["output_embedding"][walks]
@@ -423,20 +468,17 @@ class CBOW(WalkBasedEmbedder):
         )
         g_in, g_out, g_ob, g_neg, g_nb = grads
         d = self.embedding_size
-        params["node_embedding"] = (
-            params["node_embedding"].at[flat].add(-lr * g_in.reshape(-1, d))
+        # Same scatter policy as SkipGram: mean rows, summed shared negatives.
+        params["node_embedding"] = _mean_scatter(
+            params["node_embedding"], flat, g_in.reshape(-1, d), lr
         )
-        params["output_embedding"] = (
-            params["output_embedding"]
-            .at[flat].add(-lr * g_out.reshape(-1, d))
-            .at[negs].add(-lr * g_neg)
-        )
-        params["output_bias"] = (
-            params["output_bias"]
-            .at[flat].add(-lr * g_ob.reshape(-1))
-            .at[negs].add(-lr * g_nb)
-        )
-        return params, loss
+        params["output_embedding"] = _mean_scatter(
+            params["output_embedding"], flat, g_out.reshape(-1, d), lr
+        ).at[negs].add(-lr * g_neg)
+        params["output_bias"] = _mean_scatter(
+            params["output_bias"], flat, g_ob.reshape(-1), lr
+        ).at[negs].add(-lr * g_nb)
+        return params, loss / n_centers
 
     def _extract(self, params, graph):
         return EmbeddingResult(

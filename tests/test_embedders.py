@@ -29,7 +29,7 @@ def labels(karate):
 def test_skipgram_trains_and_separates(karate, labels):
     model = SkipGram(
         embedding_size=16, epochs=120, batch_size=8, walk_length=20,
-        window_size=4, iterations=4, learning_rate=1.0,
+        window_size=4, iterations=4, learning_rate=0.05,
         learning_rate_decay=0.99, random_state=42,
     )
     result = model.fit_transform(karate)
@@ -45,7 +45,7 @@ def test_skipgram_trains_and_separates(karate, labels):
 def test_cbow_trains_and_separates(karate, labels):
     model = CBOW(
         embedding_size=16, epochs=60, batch_size=8, walk_length=20,
-        window_size=4, iterations=4, learning_rate=0.5,
+        window_size=4, iterations=4, learning_rate=0.05,
         learning_rate_decay=0.99, random_state=42,
     )
     result = model.fit_transform(karate)

@@ -1,0 +1,108 @@
+"""Downstream-quality gates on a medium-scale (1k-node) planted-partition
+fixture — the BASELINE.md north stars ("link-pred AUPRC parity",
+"node-classification accuracy parity") asserted as REAL thresholds, not
+"runs without crashing". The reference exercises Cora/CIO/Usair97 downloads
+(`tests/test_edge_prediction_pipeline.py:38-45`); with zero egress we use
+seeded generators instead: an SBM (planted communities → node-label gate at
+≥0.85 accuracy) and a random geometric graph (learnable distances → link-pred
+gates at ≥0.9 AUPRC), so regressions in walks, negatives, losses, or GCN
+aggregation fail these gates rather than only slowing benchmarks.
+"""
+import numpy as np
+import pytest
+
+from embiggen_tpu.graph import planted_partition, random_geometric
+
+
+@pytest.fixture(scope="module")
+def sbm():
+    return planted_partition(
+        1000, 4, p_in=0.05, p_out=0.002, seed=42
+    )
+
+
+@pytest.fixture(scope="module")
+def rgg():
+    # Link-prediction gates run on the geometric graph: its Bayes ceiling is
+    # ~1.0 (distances are learnable), unlike the SBM whose community
+    # posterior caps any predictor at ~0.85 AUROC.
+    return random_geometric(1000, radius=0.07, seed=42)
+
+
+def test_sbm_fixture_shape(sbm):
+    assert sbm.number_of_nodes == 1000
+    assert sbm.number_of_node_types == 4
+    # dense enough inside communities for all three gates
+    assert sbm.number_of_directed_edges > 8000
+
+
+def test_skipgram_perceptron_link_prediction_auprc(rgg):
+    """SkipGram embeddings + perceptron: test AUPRC on held-out edges must
+    clear 0.9 on the geometric graph (BASELINE link-pred north star)."""
+    from embiggen_tpu.models.edge_prediction import PerceptronEdgePrediction
+    from embiggen_tpu.models.embedders import SkipGram
+    from embiggen_tpu.pipelines import edge_prediction_evaluation
+
+    df = edge_prediction_evaluation(
+        holdouts_number=1,
+        models=PerceptronEdgePrediction(
+            edge_embeddings=["Hadamard"],
+            edge_features=["JaccardCoefficient", "AdamicAdar"],
+            number_of_epochs=100,
+            random_state=0,
+        ),
+        graphs=rgg,
+        node_features=SkipGram(
+            embedding_size=32, epochs=100, batch_size=256, walk_length=16,
+            window_size=2, number_of_negative_samples=5,
+            learning_rate_decay=0.99, random_state=0,
+        ),
+        evaluation_schema="Connected Monte Carlo",
+        random_state=3,
+    )
+    test_rows = df[df["evaluation_mode"] == "test"]
+    assert (test_rows["auprc"] >= 0.90).all(), test_rows["auprc"].tolist()
+    assert (test_rows["auroc"] >= 0.90).all(), test_rows["auroc"].tolist()
+
+
+def test_kipf_gcn_node_label_accuracy(sbm):
+    """Kipf GCN recovers the planted communities: held-out node-label
+    accuracy must clear 0.85 (BASELINE node-classification north star)."""
+    from embiggen_tpu.models.gcn import KipfGCNNodeLabelPrediction
+    from embiggen_tpu.pipelines import node_label_prediction_evaluation
+
+    df = node_label_prediction_evaluation(
+        holdouts_number=1,
+        models=KipfGCNNodeLabelPrediction(
+            units=[32], head_units=[32], epochs=100,
+            use_node_embedding=True, node_embedding_size=32,
+            dropout_rate=0.2, random_state=0,
+        ),
+        graphs=sbm,
+        node_features="Degree-based SPINE",
+        evaluation_schema="Stratified Monte Carlo",
+        random_state=3,
+    )
+    test_rows = df[df["evaluation_mode"] == "test"]
+    assert (test_rows["accuracy"] >= 0.85).all(), test_rows["accuracy"].tolist()
+
+
+def test_gcn_edge_prediction_auprc(rgg):
+    """Full GCN edge predictor: held-out AUPRC must clear 0.8."""
+    from embiggen_tpu.models.gcn import GCNEdgePrediction
+    from embiggen_tpu.pipelines import edge_prediction_evaluation
+
+    df = edge_prediction_evaluation(
+        holdouts_number=1,
+        models=GCNEdgePrediction(
+            units=[32], tower_units=[16], head_units=[16], epochs=50,
+            use_node_embedding=True, node_embedding_size=32,
+            dropout_rate=0.2, batch_size=1024, random_state=0,
+        ),
+        graphs=rgg,
+        node_features="Degree-based SPINE",
+        evaluation_schema="Connected Monte Carlo",
+        random_state=3,
+    )
+    test_rows = df[df["evaluation_mode"] == "test"]
+    assert (test_rows["auprc"] >= 0.80).all(), test_rows["auprc"].tolist()
