@@ -83,3 +83,82 @@ def edge_metrics(
 def all_edge_metrics(graph: Graph) -> np.ndarray:
     """[E, 4] metrics for every arc of the graph."""
     return edge_metrics(graph, graph.sources, graph.col_idx)
+
+
+def _sparse_adjacency(graph: Graph):
+    import scipy.sparse as sp
+
+    n = graph.number_of_nodes
+    a = sp.csr_matrix(
+        (
+            np.ones(graph.number_of_directed_edges, np.float64),
+            graph.col_idx,
+            graph.row_ptr,
+        ),
+        shape=(n, n),
+    )
+    a.data[:] = 1.0  # collapse multi-arcs
+    return a
+
+
+def triangle_counts(graph: Graph) -> np.ndarray:
+    """Triangles through each node: diag(A³)/2 computed as the row-sum of
+    (A·A)∘A (reference visualizer `plot_node_triangles`,
+    `graph_visualizer.py:3770`, backed by an ensmallen kernel)."""
+    a = _sparse_adjacency(graph)
+    return np.asarray((a @ a).multiply(a).sum(axis=1)).reshape(-1) / 2.0
+
+
+def square_counts(graph: Graph) -> np.ndarray:
+    """4-cycles through each node: with P2 = (A·A) the length-2 path counts,
+    squares(v) = Σ_{w≠v} C(P2[v,w], 2) — each 4-cycle v-x-w-y is counted
+    exactly once, at its unique opposite corner w, via the unordered {x, y}
+    pair (reference `plot_node_squares`, `graph_visualizer.py:3862`).
+    Verified against brute-force enumeration on karate club."""
+    a = _sparse_adjacency(graph)
+    p2 = (a @ a).tocoo()
+    off = p2.row != p2.col
+    vals = p2.data[off]
+    contrib = vals * (vals - 1) / 2.0
+    return np.bincount(
+        p2.row[off], weights=contrib, minlength=graph.number_of_nodes
+    )
+
+
+def _sampled_distances(graph: Graph, n_sources: int, random_state: int):
+    import scipy.sparse.csgraph as csgraph
+
+    rng = np.random.default_rng(random_state)
+    n = graph.number_of_nodes
+    sources = (
+        rng.choice(n, size=n_sources, replace=False) if n > n_sources
+        else np.arange(n)
+    )
+    dist = csgraph.shortest_path(
+        _sparse_adjacency(graph), method="D", unweighted=True,
+        indices=sources,
+    )
+    return dist  # [S, N], inf where unreachable
+
+
+def approximated_closeness_centrality(
+    graph: Graph, n_sources: int = 100, random_state: int = 42
+) -> np.ndarray:
+    """Closeness ≈ (reachable sources) / Σ d(s, v) over a random source
+    sample (reference `plot_approximated_closeness_centrality`,
+    `graph_visualizer.py:3954`)."""
+    dist = _sampled_distances(graph, n_sources, random_state)
+    finite = np.isfinite(dist) & (dist > 0)
+    tot = np.where(finite, dist, 0.0).sum(axis=0)
+    cnt = finite.sum(axis=0)
+    return np.where(tot > 0, cnt / np.maximum(tot, 1e-12), 0.0)
+
+
+def approximated_harmonic_centrality(
+    graph: Graph, n_sources: int = 100, random_state: int = 42
+) -> np.ndarray:
+    """Harmonic ≈ Σ 1/d(s, v) over a random source sample (reference
+    `plot_approximated_harmonic_centrality`, `graph_visualizer.py:4046`)."""
+    dist = _sampled_distances(graph, n_sources, random_state)
+    finite = np.isfinite(dist) & (dist > 0)
+    return np.where(finite, 1.0 / np.maximum(dist, 1e-12), 0.0).sum(axis=0)
