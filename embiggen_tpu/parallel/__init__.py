@@ -11,6 +11,10 @@ from .embedder import (
     make_sharded_skipgram_step,
     shard_skipgram_params,
 )
+from .sharded_table import (
+    make_row_sharded_skipgram_step,
+    shard_rows_skipgram_params,
+)
 from .gcn import init_sharded_gcn_params, make_sharded_gcn_edge_step
 from .distributed import holdout_belongs_to_this_worker, initialize_distributed
 

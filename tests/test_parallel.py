@@ -84,3 +84,51 @@ def test_dryrun_multichip_entry():
     fn, args = mod.entry()
     out = jax.jit(fn)(*args)
     assert all(np.isfinite(np.asarray(x)).all() for x in jax.tree_util.tree_leaves(out))
+
+
+def test_row_sharded_skipgram_matches_dim_sharded(karate):
+    """Row-sharded tables (out-of-core analogue, SURVEY §2.10 mmap paths):
+    the psum-gather + owned-scatter step computes the SAME objective as the
+    dim-sharded path — per-step losses and final tables must agree."""
+    from embiggen_tpu.parallel import (
+        make_row_sharded_skipgram_step,
+        shard_rows_skipgram_params,
+    )
+
+    dg = karate.device()
+    d = 16
+    key = jax.random.PRNGKey(0)
+    k1, k2 = jax.random.split(key)
+    params = {
+        "node_embedding": jax.random.normal(k1, (34, d)) / 4,
+        "context_embedding": jax.random.normal(k2, (34, d)) / 4,
+        "context_bias": jnp.zeros((34,), jnp.float32),
+    }
+    kwargs = dict(
+        batch_size=16, walk_length=12, window_size=2,
+        number_of_negative_samples=8,
+    )
+
+    mesh_rows = make_mesh(("nodes",))
+    p_rows = shard_rows_skipgram_params(params, mesh_rows)
+    # 34 rows pad to 40 over 8 shards
+    assert p_rows["node_embedding"].shape[0] % 8 == 0
+    step_rows = make_row_sharded_skipgram_step(mesh_rows, dg, **kwargs)
+
+    mesh_dim = make_mesh(("model",))
+    p_dim = shard_skipgram_params(params, mesh_dim)
+    step_dim = make_sharded_skipgram_step(mesh_dim, dg, **kwargs)
+
+    for i in range(10):
+        k = jax.random.fold_in(key, i)
+        p_rows, loss_r = step_rows(p_rows, k, jnp.float32(0.5))
+        p_dim, loss_d = step_dim(p_dim, k, jnp.float32(0.5))
+        np.testing.assert_allclose(
+            float(loss_r), float(loss_d), rtol=1e-4, err_msg=f"step {i}"
+        )
+    emb_rows = np.asarray(p_rows["node_embedding"])[:34]
+    emb_dim = np.asarray(p_dim["node_embedding"])
+    np.testing.assert_allclose(emb_rows, emb_dim, rtol=1e-3, atol=1e-5)
+    # padding rows received no updates
+    pad = np.asarray(p_rows["node_embedding"])[34:]
+    assert (pad == 0).all()
