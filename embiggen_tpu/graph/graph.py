@@ -130,10 +130,15 @@ def build_alias_tables(
     return prob, alias
 
 
+from .compat import ReferenceGraphAPI
+
+
 @dataclasses.dataclass(frozen=True)
-class Graph:
+class Graph(ReferenceGraphAPI):
     """Immutable graph: CSR adjacency + optional weights, node/edge types and
-    string vocabularies."""
+    string vocabularies. The pythonic property API below is the primary
+    surface; `ReferenceGraphAPI` adds the full reference-named method surface
+    (SURVEY §2.9.1 census) as delegates."""
 
     row_ptr: np.ndarray                     # [N+1] int64
     col_idx: np.ndarray                     # [E] int32, sorted per row

@@ -14,6 +14,7 @@ round-robin workers never race on the same file (`utils/pipeline.py:224-231`).
 """
 from __future__ import annotations
 
+import contextlib
 import hashlib
 import os
 import time
@@ -155,15 +156,18 @@ def evaluate_model_on_graph(
     worker_id: Optional[int] = None,
     enable_cache: bool = False,
     cache_dir: Optional[str] = None,
+    profile_dir: Optional[str] = None,
     **evaluation_kwargs,
 ):
     """The model-level holdout harness (reference
     `AbstractClassifierModel.evaluate`, `abstract_classifier_model.py:2626`):
     rows = holdouts × {train, test} [× unbalances] for ONE model on ONE
-    graph, cached as a whole when `enable_cache`."""
+    graph, cached as a whole when `enable_cache`. With `profile_dir`, each
+    holdout's fit runs under a JAX profiler trace (TensorBoard format)."""
     import pandas as pd
 
     from ..parallel.distributed import holdout_belongs_to_this_worker
+    from ..utils import profiling
 
     # The top cache layer must be off across workers: they'd race writing
     # the same file (reference `utils/pipeline.py:224-231`).
@@ -201,12 +205,18 @@ def evaluate_model_on_graph(
         if m.is_stochastic():
             m.set_random_state(random_state + holdout_number)
         t_fit = time.perf_counter()
-        m.fit(
-            train, support=train, node_features=features,
-            node_type_features=node_type_features,
-            edge_type_features=edge_type_features,
-            edge_features=edge_features,
+        fit_ctx = (
+            profiling.trace(os.path.join(profile_dir, f"holdout_{holdout_number}"))
+            if profile_dir
+            else contextlib.nullcontext()
         )
+        with fit_ctx, profiling.annotate(f"fit:{m.model_name()}"):
+            m.fit(
+                train, support=train, node_features=features,
+                node_type_features=node_type_features,
+                edge_type_features=edge_type_features,
+                edge_features=edge_features,
+            )
         fit_time = time.perf_counter() - t_fit
         t_eval = time.perf_counter()
         rows = m._evaluate(

@@ -204,3 +204,40 @@ def test_walk_embedder_kill_and_resume_bit_identical(tmp_path):
         g
     ).node_embeddings[0]
     np.testing.assert_array_equal(np.asarray(full), np.asarray(resumed))
+
+
+def test_phase_timer_and_profiler_hooks(tmp_path):
+    from embiggen_tpu.utils import profiling
+
+    t = profiling.PhaseTimer()
+    with t.phase("fit"):
+        pass
+    with t.phase("fit"):
+        pass
+    d = t.as_dict()
+    assert "fit_time" in d and d["fit_time"] >= 0
+
+    # trace/annotate must be safe no-ops even if the profiler can't start.
+    import jax
+    import jax.numpy as jnp
+
+    with profiling.trace(str(tmp_path / "prof")):
+        with profiling.annotate("step"):
+            jax.jit(lambda x: x * 2)(jnp.ones(4)).block_until_ready()
+    stats = profiling.device_memory_stats()
+    assert stats is None or isinstance(stats, dict)
+
+
+def test_evaluation_profile_dir_smoke(tmp_path):
+    from embiggen_tpu.models.edge_prediction import PerceptronEdgePrediction
+    from embiggen_tpu.pipelines.evaluation import evaluate_model_on_graph
+
+    g = karate_club()
+    df = evaluate_model_on_graph(
+        PerceptronEdgePrediction(number_of_epochs=2),
+        g,
+        evaluation_schema="Monte Carlo",
+        holdouts_number=1,
+        profile_dir=str(tmp_path / "traces"),
+    )
+    assert len(df) >= 2
