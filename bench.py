@@ -11,10 +11,12 @@ one jit (`lax.scan`), i.e. the production shape of the training loops, and
 the result is forced to the host — so dispatch overhead, execution caching
 and async illusions cannot distort the numbers.
 
-`vs_baseline` compares against a vectorized numpy CPU walk implementation
-measured in the same run (the reference engine is a CPU library; its Rust
-walker is faster than numpy but unavailable here — the proxy is recorded in
-`cpu_proxy_steps_per_s`).
+`vs_baseline` compares against the best-effort multicore CPU walker
+measured in the same run: the native multithreaded C++ kernel in
+`embiggen_tpu/native/graph_algos.cpp` (the in-repo stand-in for GRAPE's
+Rust walker — same algorithm: uniform/rejection-sampled p/q steps over
+CSR). First-order is `cpu_proxy_steps_per_s`, second-order (p=0.5, q=2)
+is `cpu_proxy2_steps_per_s`.
 """
 import json
 import time
@@ -47,13 +49,40 @@ def _run_timed(fn, *args, reps=3):
     return best
 
 
-def cpu_walk_proxy(graph, batch=8192, length=32, seed=0):
-    """Vectorized numpy first-order walks (host CPU baseline)."""
+def cpu_walk_proxy(
+    graph, batch=8192, length=32, seed=0,
+    return_weight=1.0, explore_weight=1.0,
+):
+    """Best-effort multicore CPU walk baseline: the native C++ kernel
+    (embiggen_tpu/native/graph_algos.cpp::random_walks_cpu — the in-repo
+    stand-in for GRAPE's Rust walker), numpy fallback when no compiler."""
+    from embiggen_tpu.native import native_random_walks
+
     rng = np.random.default_rng(seed)
+    starts = rng.integers(0, graph.number_of_nodes, size=batch).astype(
+        np.int32
+    )
+    col_idx = np.asarray(graph.col_idx)
+    out = native_random_walks(
+        graph.row_ptr, col_idx, starts, length,
+        return_weight=return_weight, explore_weight=explore_weight,
+        seed=seed,
+    )
+    if out is not None:
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            native_random_walks(
+                graph.row_ptr, col_idx, starts, length,
+                return_weight=return_weight,
+                explore_weight=explore_weight, seed=seed,
+            )
+            best = min(best, time.perf_counter() - t0)
+        return batch * (length - 1) / best
+
     row_ptr = graph.row_ptr
-    col_idx = graph.col_idx
     deg = graph.degrees
-    curr = rng.integers(0, graph.number_of_nodes, size=batch)
+    curr = starts.astype(np.int64)
     t0 = time.perf_counter()
     for _ in range(length - 1):
         d = deg[curr]
@@ -66,6 +95,11 @@ def cpu_walk_proxy(graph, batch=8192, length=32, seed=0):
 
 
 def main():
+    import sys
+
+    def _mark(s):
+        print(f'[bench] {s}', file=sys.stderr, flush=True)
+
     import jax
     import jax.numpy as jnp
     from jax import lax
@@ -75,7 +109,9 @@ def main():
     from embiggen_tpu.graph import kernel_coo
 
     dev = jax.devices()[0]
+    _mark('device ' + str(dev))
     graph = _build_graph()
+    _mark('graph built')
     dg = graph.device()
     key = jax.random.PRNGKey(0)
     n_nodes = graph.number_of_nodes
@@ -96,6 +132,7 @@ def main():
 
     starts0 = jnp.arange(batch, dtype=jnp.int32) % n_nodes
     dt = _run_timed(walk_chain, dg, starts0, key) / k_iters
+    _mark('walk1 done')
     walk_steps_per_s = batch * (length - 1) / dt
 
     # --- second-order (p/q) walk throughput
@@ -114,6 +151,7 @@ def main():
         return carry[0]
 
     dt_so = _run_timed(walk2_chain, dg, starts0, key) / k_iters
+    _mark('walk2 done')
     walk2_steps_per_s = batch * 31 / dt_so
 
     # --- fused SkipGram train: K steps scanned inside one jit
@@ -134,9 +172,14 @@ def main():
         params, losses = lax.scan(
             body, params, jax.random.split(k, k_iters)
         )
-        return params, losses
+        # Return ONLY a scalar: `_run_timed` forces the first output leaf to
+        # host, and pulling a [N,128] table through the axon tunnel would
+        # dominate the measurement.
+        first_leaf = jax.tree_util.tree_leaves(params)[0]
+        return jnp.sum(losses) + jnp.sum(first_leaf.reshape(-1)[:8])
 
     dt_train = _run_timed(train_chain, dg, params, key) / k_iters
+    _mark('train done')
     centers = 1024 * (64 - 10)
     train_centers_per_s = centers / dt_train
 
@@ -155,9 +198,10 @@ def main():
             return out / jnp.maximum(jnp.abs(out).max(), 1e-9), None
 
         x, _ = lax.scan(body, x, None, length=spmm_iters)
-        return x
+        return jnp.sum(x[0])  # scalar out: keep D2H out of the timing
 
     dt_spmm = _run_timed(spmm_pad_chain, pk, x0) / spmm_iters
+    _mark('spmm_pad done')
     spmm_edges_per_s = graph.number_of_directed_edges / dt_spmm
     # effective HBM traffic of the gather-contract: ~N*K*D*4 bytes/pass
     pad_elems = sum(int(np.prod(c.shape)) for c in pk.bucket_cols)
@@ -174,12 +218,16 @@ def main():
             return out / jnp.maximum(jnp.abs(out).max(), 1e-9), None
 
         x, _ = lax.scan(body, x, None, length=spmm_iters)
-        return x
+        return jnp.sum(x[0])  # scalar out: keep D2H out of the timing
 
     dt_coo = _run_timed(spmm_coo_chain, rows_d, cols_d, vals_d, x0) / spmm_iters
+    _mark('spmm_coo done')
     spmm_coo_edges_per_s = graph.number_of_directed_edges / dt_coo
 
     cpu_proxy = cpu_walk_proxy(graph)
+    cpu_proxy2 = cpu_walk_proxy(
+        graph, return_weight=2.0, explore_weight=0.5
+    )
 
     print(
         json.dumps(
@@ -196,6 +244,7 @@ def main():
                 "spmm_gbytes_per_s": round(spmm_gbytes_per_s, 1),
                 "spmm_coo_edges_per_s": round(spmm_coo_edges_per_s),
                 "cpu_proxy_steps_per_s": round(cpu_proxy),
+                "cpu_proxy2_steps_per_s": round(cpu_proxy2),
             }
         )
     )

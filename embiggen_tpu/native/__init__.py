@@ -84,6 +84,14 @@ def get_lib() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
         ctypes.c_int64, ctypes.c_int64, ctypes.POINTER(ctypes.c_int32),
     ]
+    lib.random_walks_cpu.restype = None
+    lib.random_walks_cpu.argtypes = [
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int64, ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_double, ctypes.c_double,
+        ctypes.c_uint64, ctypes.c_int, ctypes.POINTER(ctypes.c_int32),
+    ]
     _lib = lib
     return _lib
 
@@ -185,3 +193,41 @@ def parse_edge_list(
         return src, dst, weights, edge_types, node_names, edge_type_names
     finally:
         lib.free_parsed_edge_list(ptr)
+
+
+def native_random_walks(
+    row_ptr: np.ndarray,
+    col_idx: np.ndarray,
+    starts: np.ndarray,
+    length: int,
+    return_weight: float = 1.0,
+    explore_weight: float = 1.0,
+    seed: int = 0,
+    n_threads: Optional[int] = None,
+):
+    """Multithreaded CPU walk kernel (GRAPE-Rust-class baseline for bench).
+    Returns [batch, length] int32 walks or None if the lib is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    row_ptr = np.ascontiguousarray(row_ptr, dtype=np.int64)
+    col_idx = np.ascontiguousarray(col_idx, dtype=np.int32)
+    starts = np.ascontiguousarray(starts, dtype=np.int32)
+    batch = starts.shape[0]
+    out = np.empty((batch, length), dtype=np.int32)
+    if n_threads is None:
+        n_threads = os.cpu_count() or 1
+    lib.random_walks_cpu(
+        row_ptr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        col_idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ctypes.c_int64(row_ptr.shape[0] - 1),
+        starts.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ctypes.c_int64(batch),
+        ctypes.c_int64(length),
+        ctypes.c_double(return_weight),
+        ctypes.c_double(explore_weight),
+        ctypes.c_uint64(seed),
+        ctypes.c_int(int(n_threads)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    return out

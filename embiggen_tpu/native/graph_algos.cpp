@@ -118,3 +118,93 @@ int64_t connected_components(const int32_t* sources, const int32_t* dests,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Multithreaded random-walk kernel — the in-repo stand-in for GRAPE's Rust
+// walker (the reference's out-of-tree hot loop behind `graph.node2vec`,
+// call site embiggen/sequences/node2vec_sequence.py:190-203). bench.py uses
+// it as the best-effort multicore-CPU baseline that the TPU kernels are
+// compared against (an honest `vs_baseline`, unlike a numpy proxy).
+//
+// First-order: uniform neighbour pick, one xorshift draw per step.
+// Second-order (return_weight/explore_weight != 1): node2vec p/q bias by
+// rejection sampling — draw a uniform neighbour of curr, accept with
+// w/w_max where w = return_weight if cand==prev, 1 if cand is a neighbour
+// of prev (binary search), else explore_weight. Matches the device sampler
+// in embiggen_tpu/ops/walks.py::_second_order_step_rejection.
+
+extern "C" {
+
+static inline uint64_t xorshift64(uint64_t* s) {
+  uint64_t x = *s;
+  x ^= x << 13;
+  x ^= x >> 7;
+  x ^= x << 17;
+  return *s = x;
+}
+
+static inline bool has_arc(const int64_t* row_ptr, const int32_t* col_idx,
+                           int32_t src, int32_t dst) {
+  int64_t lo = row_ptr[src], hi = row_ptr[src + 1];
+  while (lo < hi) {
+    int64_t mid = (lo + hi) >> 1;
+    if (col_idx[mid] < dst) lo = mid + 1; else hi = mid;
+  }
+  return lo < row_ptr[src + 1] && col_idx[lo] == dst;
+}
+
+void random_walks_cpu(const int64_t* row_ptr, const int32_t* col_idx,
+                      int64_t /*n_nodes*/, const int32_t* starts,
+                      int64_t batch, int64_t length,
+                      double return_weight, double explore_weight,
+                      uint64_t seed, int n_threads, int32_t* out) {
+  const bool second_order =
+      return_weight != 1.0 || explore_weight != 1.0;
+  const double w_max =
+      std::max(1.0, std::max(return_weight, explore_weight));
+  auto worker = [&](int64_t b0, int64_t b1, uint64_t tseed) {
+    uint64_t rng = tseed * 0x9E3779B97F4A7C15ULL + 0xD1B54A32D192ED03ULL;
+    xorshift64(&rng);
+    for (int64_t b = b0; b < b1; ++b) {
+      int32_t prev = starts[b];
+      int32_t curr = starts[b];
+      out[b * length] = curr;
+      for (int64_t t = 1; t < length; ++t) {
+        const int64_t s = row_ptr[curr], e = row_ptr[curr + 1];
+        const int64_t deg = e - s;
+        if (deg == 0) { out[b * length + t] = curr; continue; }
+        int32_t next;
+        if (!second_order || t == 1) {
+          next = col_idx[s + (int64_t)(xorshift64(&rng) % (uint64_t)deg)];
+        } else {
+          next = curr;  // fallback if all tries reject (vanishingly rare)
+          for (int tries = 0; tries < 16; ++tries) {
+            const int32_t cand =
+                col_idx[s + (int64_t)(xorshift64(&rng) % (uint64_t)deg)];
+            double w;
+            if (cand == prev) w = return_weight;
+            else if (has_arc(row_ptr, col_idx, prev, cand)) w = 1.0;
+            else w = explore_weight;
+            const double u =
+                (double)(xorshift64(&rng) >> 11) * (1.0 / 9007199254740992.0);
+            if (u * w_max < w) { next = cand; break; }
+          }
+        }
+        prev = curr;
+        curr = next;
+        out[b * length + t] = curr;
+      }
+    }
+  };
+  std::vector<std::thread> threads;
+  const int64_t chunk = (batch + n_threads - 1) / n_threads;
+  for (int t = 0; t < n_threads; ++t) {
+    const int64_t b0 = t * chunk;
+    const int64_t b1 = std::min(batch, b0 + chunk);
+    if (b0 >= b1) break;
+    threads.emplace_back(worker, b0, b1, seed + (uint64_t)t);
+  }
+  for (auto& th : threads) th.join();
+}
+
+}  // extern "C"

@@ -72,3 +72,38 @@ def test_native_parser_speed(tmp_path):
     pd.read_csv(path, sep="\t")
     t_pandas = time.perf_counter() - t0
     assert t_native < t_pandas * 2, (t_native, t_pandas)
+
+
+def test_native_random_walks_validity_and_pq():
+    import numpy as np
+
+    from embiggen_tpu.graph.generators import erdos_renyi
+    from embiggen_tpu.native import native_random_walks
+
+    g = erdos_renyi(500, 3000, seed=2)
+    ci = np.asarray(g.col_idx)
+    starts = np.arange(200, dtype=np.int32) % g.number_of_nodes
+    w = native_random_walks(g.row_ptr, ci, starts, 16, seed=3)
+    if w is None:  # no compiler in env
+        return
+    assert w.shape == (200, 16)
+    for b in range(0, 200, 17):
+        for t in range(1, 16):
+            s, d = w[b, t - 1], w[b, t]
+            nbrs = ci[g.row_ptr[s]: g.row_ptr[s + 1]]
+            assert d in nbrs or (len(nbrs) == 0 and d == s)
+
+    # p/q bias sanity: strong return weight must raise the immediate-return
+    # rate far above the uniform walker's.
+    big = np.repeat(starts, 40)
+    w_ret = native_random_walks(
+        g.row_ptr, ci, big, 16, return_weight=50.0, explore_weight=1.0,
+        seed=5,
+    )
+    w_uni = native_random_walks(g.row_ptr, ci, big, 16, seed=5)
+
+    def return_rate(walks):
+        back = walks[:, 2:] == walks[:, :-2]
+        return float(back.mean())
+
+    assert return_rate(w_ret) > return_rate(w_uni) * 3
