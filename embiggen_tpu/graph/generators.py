@@ -97,10 +97,11 @@ def planted_partition(
     """
     rng = np.random.default_rng(seed)
     comm = rng.integers(0, n_communities, size=n_nodes).astype(np.int32)
-    # Sample undirected candidate pairs in blocks: expected edge count is
-    # n^2/2 * p_avg; draw i<j uniformly and accept by the block probability.
+    # Sample undirected candidate pairs: draw ordered pairs uniformly, keep
+    # i<j (halves the draws, hence the 2x), accept by block probability —
+    # expected kept edges ≈ n(n-1)/2 · p_avg · 1.3-oversample.
     p_max = max(p_in, p_out)
-    n_cand = int(n_nodes * (n_nodes - 1) / 2 * p_max * 1.3) + 16
+    n_cand = int(n_nodes * (n_nodes - 1) * p_max * 1.3) + 32
     src = rng.integers(0, n_nodes, size=n_cand)
     dst = rng.integers(0, n_nodes, size=n_cand)
     ok = src < dst
@@ -109,11 +110,18 @@ def planted_partition(
     keep = rng.random(len(src)) < p_pair / p_max
     src, dst = src[keep], dst[keep]
     # Connect isolated nodes to a random same-community peer so holdouts and
-    # walk kernels see a single usable graph.
+    # walk kernels see a single usable graph without diluting community
+    # purity (fall back to any other node only for a singleton community).
     deg = np.bincount(np.concatenate([src, dst]), minlength=n_nodes)
     isolated = np.flatnonzero(deg == 0)
     if len(isolated):
-        partners = (isolated + 1 + rng.integers(0, n_nodes - 1, len(isolated))) % n_nodes
+        partners = np.empty(len(isolated), np.int64)
+        for i, v in enumerate(isolated):
+            peers = np.flatnonzero(comm == comm[v])
+            peers = peers[peers != v]
+            if len(peers) == 0:
+                peers = np.delete(np.arange(n_nodes), v)
+            partners[i] = rng.choice(peers)
         src = np.concatenate([src, isolated])
         dst = np.concatenate([dst, partners])
     return Graph.from_edge_arrays(

@@ -638,21 +638,26 @@ class Graph(ReferenceGraphAPI):
         return self.number_of_connected_components == 1
 
     def to_dot(self) -> str:
-        """GraphViz dot representation (reference `Graph.to_dot`)."""
-        names = self.get_node_names()
+        """GraphViz dot representation (reference `Graph.to_dot`).
+        Vectorized: undirected dedup via the upper-triangular arc mask and
+        one `str.join` — no per-edge Python loop."""
+        names = np.asarray(self.get_node_names(), dtype=object)
         kind = "digraph" if self.directed else "graph"
         arrow = "->" if self.directed else "--"
-        lines = [f"{kind} {{"]
-        seen = set()
-        for s, d in zip(self.sources, self.col_idx):
-            if not self.directed:
-                key = (min(s, d), max(s, d))
-                if key in seen:
-                    continue
-                seen.add(key)
-            lines.append(f'  "{names[s]}" {arrow} "{names[d]}";')
-        lines.append("}")
-        return "\n".join(lines)
+        src, dst = self.sources, self.col_idx
+        if not self.directed:
+            keep = src <= dst
+            src, dst = src[keep], dst[keep]
+        body = "".join(
+            np.char.add(
+                np.char.add(
+                    np.char.add('  "', names[src].astype(str)),
+                    f'" {arrow} "',
+                ),
+                np.char.add(names[dst].astype(str), '";\n'),
+            )
+        ) if len(src) else ""
+        return f"{kind} {{\n{body}}}"
 
     def filter_from_names(
         self,

@@ -173,28 +173,56 @@ class WalkBasedEmbedder(AbstractEmbeddingModel):
         # Mid-training checkpointing (SURVEY §5.4: a capability the reference
         # lacks). Per-epoch PRNG keys are fold_in(key, epoch) and lr is a pure
         # function of the epoch index, so resuming from (params, epoch) is
-        # bit-identical to an uninterrupted run.
+        # bit-identical to an uninterrupted run. The checkpoint carries a
+        # fingerprint of (model, graph, hyper-params); a file written by a
+        # different run is ignored, and the file is deleted on completion —
+        # otherwise a finished 34-node run would silently serve its embedding
+        # to a later 100-node fit sharing the checkpoint_dir.
         ckpt_path = None
+        ckpt_fp = None
         start_epoch = 0
         if self._checkpoint_dir is not None:
             import os
 
             from ...utils.checkpoint import (
                 checkpoint_exists,
+                checkpoint_matches,
                 load_pytree,
                 save_pytree,
             )
 
             ckpt_path = os.path.join(self._checkpoint_dir, "embed_state")
+            ckpt_fp = "|".join(
+                str(x)
+                for x in (
+                    type(self).__name__,
+                    getattr(graph, "name", ""),
+                    graph.number_of_nodes,
+                    graph.number_of_directed_edges,
+                    self.embedding_size,
+                    self._epochs,
+                    self._batch_size,
+                    self._walk_length,
+                    self.random_state,
+                )
+            )
             if checkpoint_exists(ckpt_path):
-                state = load_pytree(
-                    ckpt_path,
-                    like={"params": params, "epoch": np.int64(0)},
-                )
-                params = jax.tree_util.tree_map(
-                    jnp.asarray, state["params"]
-                )
-                start_epoch = int(state["epoch"])
+                if checkpoint_matches(ckpt_path, ckpt_fp):
+                    state = load_pytree(
+                        ckpt_path,
+                        like={"params": params, "epoch": np.int64(0)},
+                    )
+                    params = jax.tree_util.tree_map(
+                        jnp.asarray, state["params"]
+                    )
+                    start_epoch = int(state["epoch"])
+                else:
+                    import warnings
+
+                    warnings.warn(
+                        f"Ignoring checkpoint at {ckpt_path}: it was written "
+                        "by a different model/graph/hyper-parameter run."
+                    )
 
         step_fn = self._step
 
@@ -222,6 +250,7 @@ class WalkBasedEmbedder(AbstractEmbeddingModel):
             if (
                 ckpt_path is not None
                 and (epoch + 1) % self._checkpoint_interval == 0
+                and epoch + 1 < self._epochs
             ):
                 save_pytree(
                     ckpt_path,
@@ -229,7 +258,12 @@ class WalkBasedEmbedder(AbstractEmbeddingModel):
                         "params": jax.tree_util.tree_map(np.asarray, params),
                         "epoch": np.int64(epoch + 1),
                     },
+                    fingerprint=ckpt_fp,
                 )
+        if ckpt_path is not None:
+            from ...utils.checkpoint import delete_checkpoint
+
+            delete_checkpoint(ckpt_path)
         self._last_loss = None if last_loss is None else float(last_loss)
         return self._extract(params, graph)
 

@@ -27,6 +27,24 @@ from ...ops.spmm import pad_coo, spmm_padded
 Params = Dict[str, Any]
 
 
+def graph_fingerprint(graph: Graph, *extras) -> str:
+    """Cheap identity string for checkpoint gating: graph name/shape plus a
+    CRC of the edge structure and any extra arrays (train masks, labels) —
+    enough to distinguish holdout splits of the same graph."""
+    import zlib
+
+    crc = zlib.crc32(np.ascontiguousarray(graph.row_ptr).tobytes())
+    crc = zlib.crc32(np.ascontiguousarray(graph.col_idx).tobytes(), crc)
+    for extra in extras:
+        crc = zlib.crc32(
+            np.ascontiguousarray(np.asarray(extra)).tobytes(), crc
+        )
+    return (
+        f"{getattr(graph, 'name', '')}|{graph.number_of_nodes}|"
+        f"{graph.number_of_directed_edges}|{crc:08x}"
+    )
+
+
 def glorot(key, shape):
     limit = np.sqrt(6.0 / (shape[0] + shape[1]))
     return jax.random.uniform(key, shape, jnp.float32, -limit, limit)
@@ -277,7 +295,7 @@ class TrainLoop:
 
         return os.path.join(self.checkpoint_dir, "train_state")
 
-    def run(self, params, loss_step, key):
+    def run(self, params, loss_step, key, fingerprint: str = ""):
         """loss_step(params, key) -> (loss, grads). One epoch =
         `steps_per_epoch` optimizer steps scanned inside a single jit.
 
@@ -285,7 +303,12 @@ class TrainLoop:
         optimizer state, PRNG key, callback counters, loss history) is saved
         every `checkpoint_interval` epochs and restored on the next call, so
         a killed run resumes bit-identically (mid-training checkpointing is a
-        capability the reference lacks — SURVEY §5.4)."""
+        capability the reference lacks — SURVEY §5.4). The checkpoint is
+        fingerprinted against the params tree (treedef + shapes), the loop
+        config and the caller-supplied `fingerprint` (graph/holdout
+        identity), and deleted when the run COMPLETES — without both, a
+        model refit on holdout k≥2 would resume from holdout 1's final
+        state: silent cross-holdout leakage."""
         optimizer = optax.adam(self.learning_rate)
         opt_state = optimizer.init(params)
         n_steps = self.steps_per_epoch
@@ -315,10 +338,38 @@ class TrainLoop:
         start_epoch = 0
 
         ckpt_path = self._ckpt_path()
+        ckpt_fp = None
         if ckpt_path is not None:
-            from ...utils.checkpoint import checkpoint_exists, load_pytree
+            from ...utils.checkpoint import (
+                checkpoint_exists,
+                checkpoint_matches,
+                load_pytree,
+            )
 
-            if checkpoint_exists(ckpt_path):
+            shapes = jax.tree_util.tree_map(
+                lambda l: tuple(np.shape(l)), params
+            )
+            ckpt_fp = "|".join(
+                str(x)
+                for x in (
+                    fingerprint,
+                    jax.tree_util.tree_structure(params),
+                    sorted(jax.tree_util.tree_leaves(shapes)),
+                    self.epochs,
+                    self.steps_per_epoch,
+                    self.learning_rate,
+                )
+            )
+            if checkpoint_exists(ckpt_path) and not checkpoint_matches(
+                ckpt_path, ckpt_fp
+            ):
+                import warnings
+
+                warnings.warn(
+                    f"Ignoring checkpoint at {ckpt_path}: it was written by "
+                    "a different model/graph/holdout run."
+                )
+            elif checkpoint_exists(ckpt_path):
                 like = self._pack_state(
                     params, opt_state, key, 0, best, best_params,
                     patience, lr_patience, lr_scale, history,
@@ -361,6 +412,7 @@ class TrainLoop:
             if (
                 ckpt_path is not None
                 and (epoch + 1) % self.checkpoint_interval == 0
+                and epoch + 1 < self.epochs
             ):
                 from ...utils.checkpoint import save_pytree
 
@@ -371,7 +423,12 @@ class TrainLoop:
                         best_params, patience, lr_patience, lr_scale,
                         history,
                     ),
+                    fingerprint=ckpt_fp,
                 )
+        if ckpt_path is not None:
+            from ...utils.checkpoint import delete_checkpoint
+
+            delete_checkpoint(ckpt_path)
         return best_params, history
 
     @staticmethod

@@ -27,6 +27,7 @@ from ..edge_prediction.model import AbstractEdgePredictionModel
 from ..registry import register_model
 from .core import (
     GCNEncoder,
+    graph_fingerprint,
     TrainLoop,
     apply_mlp,
     assemble_node_features,
@@ -392,7 +393,8 @@ class GCNEdgePrediction(_EdgeGCNBase, AbstractEdgePredictionModel):
             checkpoint_interval=self._checkpoint_interval,
         )
         self._params, self._history = loop.run(
-            params, jax.value_and_grad(loss_fn), key
+            params, jax.value_and_grad(loss_fn), key,
+            fingerprint=graph_fingerprint(graph),
         )
         self._n_nodes = n_nodes
 
@@ -488,7 +490,8 @@ class GCNEdgeLabelPrediction(_EdgeGCNBase, AbstractEdgeLabelPredictionModel):
             checkpoint_interval=self._checkpoint_interval,
         )
         self._params, self._history = loop.run(
-            params, jax.value_and_grad(loss_fn), key
+            params, jax.value_and_grad(loss_fn), key,
+            fingerprint=graph_fingerprint(graph, known_idx, y_all),
         )
         self._n_nodes = n_nodes
 

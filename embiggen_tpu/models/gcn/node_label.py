@@ -20,6 +20,7 @@ from ..node_label_prediction.model import AbstractNodeLabelPredictionModel
 from ..registry import register_model
 from .core import (
     GCNEncoder,
+    graph_fingerprint,
     StaticFeatureSpec,
     TrainLoop,
     apply_mlp,
@@ -208,7 +209,8 @@ class GCNNodeLabelPrediction(AbstractNodeLabelPredictionModel):
             checkpoint_interval=self._checkpoint_interval,
         )
         self._params, self._history = loop.run(
-            params, jax.value_and_grad(loss_fn), key
+            params, jax.value_and_grad(loss_fn), key,
+            fingerprint=graph_fingerprint(graph, mask, y),
         )
 
     def _predict_proba(self, graph: Graph, support: Optional[Graph] = None,

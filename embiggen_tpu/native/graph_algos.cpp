@@ -177,7 +177,14 @@ void random_walks_cpu(const int64_t* row_ptr, const int32_t* col_idx,
         if (!second_order || t == 1) {
           next = col_idx[s + (int64_t)(xorshift64(&rng) % (uint64_t)deg)];
         } else {
-          next = curr;  // fallback if all tries reject (vanishingly rare)
+          // All-tries-reject fallback: best-weighted drawn candidate (the
+          // same SIR residual policy as the device sampler in ops/walks.py,
+          // which falls back to a weighted pick among its candidates — a
+          // self-transition here would diverge from it on high-contrast
+          // p/q weights). Vanishingly rare at 16 tries.
+          int32_t best_cand = -1;
+          double best_w = -1.0;
+          next = curr;
           for (int tries = 0; tries < 16; ++tries) {
             const int32_t cand =
                 col_idx[s + (int64_t)(xorshift64(&rng) % (uint64_t)deg)];
@@ -185,10 +192,12 @@ void random_walks_cpu(const int64_t* row_ptr, const int32_t* col_idx,
             if (cand == prev) w = return_weight;
             else if (has_arc(row_ptr, col_idx, prev, cand)) w = 1.0;
             else w = explore_weight;
+            if (w > best_w) { best_w = w; best_cand = cand; }
             const double u =
                 (double)(xorshift64(&rng) >> 11) * (1.0 / 9007199254740992.0);
-            if (u * w_max < w) { next = cand; break; }
+            if (u * w_max < w) { next = cand; best_cand = -1; break; }
           }
+          if (best_cand >= 0) next = best_cand;
         }
         prev = curr;
         curr = next;

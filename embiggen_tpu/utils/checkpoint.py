@@ -21,11 +21,54 @@ def checkpoint_exists(path: str) -> bool:
     return os.path.exists(path + ".npz") or os.path.isdir(path)
 
 
-def save_pytree(path: str, pytree: Any, backend: str = "npz") -> None:
+def checkpoint_matches(path: str, fingerprint: Optional[str]) -> bool:
+    """True if the npz checkpoint at `path` exists AND carries the given
+    fingerprint string. A checkpoint with no stored fingerprint only matches
+    `fingerprint=None` (legacy files must not silently resume a different
+    run — a stale checkpoint once returned a 34-node graph's embedding for a
+    100-node graph because nothing tied the file to its run)."""
+    path = os.path.abspath(path)
+    if not os.path.exists(path + ".npz"):
+        return os.path.isdir(path) and fingerprint is None
+    import numpy as np
+
+    try:
+        data = np.load(path + ".npz")
+        stored = (
+            str(data["__fingerprint__"])
+            if "__fingerprint__" in data.files
+            else None
+        )
+    except Exception:
+        return False
+    return stored == fingerprint
+
+
+def delete_checkpoint(path: str) -> None:
+    """Remove a checkpoint written by `save_pytree` (no-op if absent).
+    Called on successful run completion so a finished run can never be
+    mistaken for a resumable one."""
+    path = os.path.abspath(path)
+    if os.path.exists(path + ".npz"):
+        os.remove(path + ".npz")
+    elif os.path.isdir(path):
+        import shutil
+
+        shutil.rmtree(path)
+
+
+def save_pytree(
+    path: str,
+    pytree: Any,
+    backend: str = "npz",
+    fingerprint: Optional[str] = None,
+) -> None:
     """Atomically save a jax/numpy pytree.
 
     backend="npz" (default): host .npz, leaves fetched to numpy first.
     backend="orbax": orbax PyTreeCheckpointer (sharded/multi-host trees).
+    `fingerprint` (npz only): an identity string for the run (graph/model/
+    hyper-params); `checkpoint_matches` gates restores on it.
     """
     path = os.path.abspath(path)
     if backend == "orbax":
@@ -40,8 +83,11 @@ def save_pytree(path: str, pytree: Any, backend: str = "npz") -> None:
     leaves, _ = jax.tree_util.tree_flatten(pytree)
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     tmp = path + ".npz.tmp"
+    payload = {f"leaf_{i}": np.asarray(l) for i, l in enumerate(leaves)}
+    if fingerprint is not None:
+        payload["__fingerprint__"] = np.asarray(fingerprint)
     with open(tmp, "wb") as fh:
-        np.savez(fh, **{f"leaf_{i}": np.asarray(l) for i, l in enumerate(leaves)})
+        np.savez(fh, **payload)
     os.replace(tmp, path + ".npz")
 
 

@@ -259,10 +259,11 @@ class GraphVisualizer:
                     color=cmap(i % 10), label=label,
                 )
             ax.legend(loc="best", fontsize=8)
-        else:
+        elif colors is not None:
             sc = ax.scatter(*coords, c=colors, s=6, cmap="viridis")
-            if colors is not None:
-                fig.colorbar(sc, ax=ax, label=color_label)
+            fig.colorbar(sc, ax=ax, label=color_label)
+        else:
+            ax.scatter(*coords, s=6)
         ax.set_title(title)
         return fig, ax
 
@@ -780,56 +781,62 @@ class GraphVisualizer:
     # ----------------------------------------------------------------- facade
     def fit_and_plot_all(
         self, node_features, include_distribution_plots: bool = True
-    ) -> Tuple[List, List[str]]:
+    ) -> List:
         """Run every applicable plot (reference
         `GraphVisualizer.fit_and_plot_all`, `graph_visualizer.py:5280`) and
-        return (figures, separability comments)."""
+        return the list of figures. Separability commentary is available via
+        `get_separability_comments()`. Figures are detached from pyplot's
+        manager (`plt.close`) so a 35-figure sweep doesn't trip matplotlib's
+        open-figure limit; they remain fully usable for `savefig`/display."""
         self.fit_nodes(node_features)
         self.fit_edges(node_features)
         self.fit_negative_and_positive_edges(node_features)
-        figures = [
-            self.plot_nodes(),
-            self.plot_node_degrees(),
-            self.plot_connected_components(),
-            self.plot_node_triangles(),
-            self.plot_node_squares(),
-            self.plot_approximated_closeness_centrality(),
-            self.plot_approximated_harmonic_centrality(),
-            self.plot_node_ontologies(),
-            self.plot_edges(),
-            self.plot_positive_and_negative_edges(),
-            self.plot_positive_and_negative_edge_metrics(),
-            self.plot_positive_and_negative_adamic_adar_histogram(),
-            self.plot_positive_and_negative_edges_adamic_adar(),
-            self.plot_positive_and_negative_jaccard_coefficient_histogram(),
-            self.plot_positive_and_negative_edges_jaccard_coefficient(),
-            self.plot_positive_and_negative_resource_allocation_index_histogram(),
-            self.plot_positive_and_negative_edges_resource_allocation_index(),
-            self.plot_positive_and_negative_preferential_attachment_histogram(),
-            self.plot_positive_and_negative_edges_preferential_attachment(),
-            self.plot_positive_and_negative_edges_euclidean_distance_histogram(),
-            self.plot_positive_and_negative_edges_euclidean_distance(),
-            self.plot_positive_and_negative_edges_cosine_similarity_histogram(),
-            self.plot_positive_and_negative_edges_cosine_similarity(),
-            self.plot_dot(),
-        ]
+        _, plt = _plt()
+        figures: List = []
+
+        def add(fig):
+            # Detach each figure from pyplot as soon as it exists, so ~35
+            # concurrent figures never accumulate in the manager.
+            plt.close(fig[0] if isinstance(fig, tuple) else fig)
+            figures.append(fig)
+
+        add(self.plot_nodes())
+        add(self.plot_node_degrees())
+        add(self.plot_connected_components())
+        add(self.plot_node_triangles())
+        add(self.plot_node_squares())
+        add(self.plot_approximated_closeness_centrality())
+        add(self.plot_approximated_harmonic_centrality())
+        add(self.plot_node_ontologies())
+        add(self.plot_edges())
+        add(self.plot_positive_and_negative_edges())
+        add(self.plot_positive_and_negative_edge_metrics())
+        add(self.plot_positive_and_negative_adamic_adar_histogram())
+        add(self.plot_positive_and_negative_edges_adamic_adar())
+        add(self.plot_positive_and_negative_jaccard_coefficient_histogram())
+        add(self.plot_positive_and_negative_edges_jaccard_coefficient())
+        add(self.plot_positive_and_negative_resource_allocation_index_histogram())
+        add(self.plot_positive_and_negative_edges_resource_allocation_index())
+        add(self.plot_positive_and_negative_preferential_attachment_histogram())
+        add(self.plot_positive_and_negative_edges_preferential_attachment())
+        add(self.plot_positive_and_negative_edges_euclidean_distance_histogram())
+        add(self.plot_positive_and_negative_edges_euclidean_distance())
+        add(self.plot_positive_and_negative_edges_cosine_similarity_histogram())
+        add(self.plot_positive_and_negative_edges_cosine_similarity())
+        add(self.plot_dot())
         if self._n_components == 2:
-            figures.append(self.plot_edge_segments())
+            add(self.plot_edge_segments())
         if include_distribution_plots:
-            figures.extend(
-                [
-                    self.plot_node_degree_distribution(),
-                    self.plot_triangle_distribution(),
-                    self.plot_square_distribution(),
-                    self.plot_approximated_closeness_centrality_distribution(),
-                    self.plot_approximated_harmonic_centrality_distribution(),
-                ]
-            )
+            add(self.plot_node_degree_distribution())
+            add(self.plot_triangle_distribution())
+            add(self.plot_square_distribution())
+            add(self.plot_approximated_closeness_centrality_distribution())
+            add(self.plot_approximated_harmonic_centrality_distribution())
         if self._graph.has_node_types:
-            figures.append(self.plot_node_types())
+            add(self.plot_node_types())
         if self._graph.has_edge_types:
-            figures.append(self.plot_edge_types())
+            add(self.plot_edge_types())
         if self._graph.has_edge_weights:
-            figures.append(self.plot_edge_weights())
-            figures.append(self.plot_edge_weight_distribution())
-        return figures, self.get_separability_comments()
+            add(self.plot_edge_weights())
+            add(self.plot_edge_weight_distribution())
+        return figures

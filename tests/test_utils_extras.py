@@ -147,12 +147,32 @@ def test_pytree_checkpoint(tmp_path):
     )
 
 
-def test_trainloop_kill_and_resume_bit_identical(tmp_path):
+class _KillAfter:
+    """Wrap `save_pytree` to raise after N saves — simulates a process kill
+    mid-training (the save itself completes first, like a real kill between
+    epochs)."""
+
+    def __init__(self, n_saves):
+        import embiggen_tpu.utils.checkpoint as ck
+
+        self.real = ck.save_pytree
+        self.left = n_saves
+
+    def __call__(self, path, tree, **kw):
+        self.real(path, tree, **kw)
+        self.left -= 1
+        if self.left <= 0:
+            raise KeyboardInterrupt("simulated kill")
+
+
+def test_trainloop_kill_and_resume_bit_identical(tmp_path, monkeypatch):
     """A checkpointed run killed mid-training and resumed produces params
     bit-identical to an uninterrupted run (VERDICT r1 item 10)."""
     import jax
     import jax.numpy as jnp
+    import pytest
 
+    import embiggen_tpu.utils.checkpoint as ck
     from embiggen_tpu.models.gcn.core import TrainLoop, init_mlp
 
     x = jnp.asarray(np.random.default_rng(0).normal(size=(32, 4)), jnp.float32)
@@ -171,10 +191,14 @@ def test_trainloop_kill_and_resume_bit_identical(tmp_path):
         params0, loss_step, jax.random.PRNGKey(42)
     )
     d = str(tmp_path / "ck")
-    # "Kill" after 4 epochs (truncated run saves state every epoch) ...
-    TrainLoop(
-        epochs=4, steps_per_epoch=2, checkpoint_dir=d, checkpoint_interval=1
-    ).run(params0, loss_step, jax.random.PRNGKey(42))
+    # Kill after 4 epochs (checkpoint each epoch, die after the 4th save)...
+    monkeypatch.setattr(ck, "save_pytree", _KillAfter(4))
+    with pytest.raises(KeyboardInterrupt):
+        TrainLoop(
+            epochs=8, steps_per_epoch=2, checkpoint_dir=d,
+            checkpoint_interval=1,
+        ).run(params0, loss_step, jax.random.PRNGKey(42))
+    monkeypatch.undo()
     # ... then resume to the full 8.
     resumed, hist_res = TrainLoop(
         epochs=8, steps_per_epoch=2, checkpoint_dir=d, checkpoint_interval=1
@@ -185,9 +209,16 @@ def test_trainloop_kill_and_resume_bit_identical(tmp_path):
     ):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     np.testing.assert_allclose(hist_full, hist_res)
+    # A completed run must not leave a resumable checkpoint behind.
+    from embiggen_tpu.utils.checkpoint import checkpoint_exists
+
+    assert not checkpoint_exists(str(tmp_path / "ck" / "train_state"))
 
 
-def test_walk_embedder_kill_and_resume_bit_identical(tmp_path):
+def test_walk_embedder_kill_and_resume_bit_identical(tmp_path, monkeypatch):
+    import pytest
+
+    import embiggen_tpu.utils.checkpoint as ck
     from embiggen_tpu.models.embedders import SkipGram
 
     g = karate_club()
@@ -198,12 +229,48 @@ def test_walk_embedder_kill_and_resume_bit_identical(tmp_path):
     full = SkipGram(**kwargs).fit_transform(g).node_embeddings[0]
 
     d = str(tmp_path / "ck")
-    # Truncated (killed) run: 2 of 4 epochs, checkpointing each epoch.
-    SkipGram(**{**kwargs, "epochs": 2}, checkpoint_dir=d).fit_transform(g)
+    # Kill mid-run after 2 epochs' checkpoints...
+    monkeypatch.setattr(ck, "save_pytree", _KillAfter(2))
+    with pytest.raises(KeyboardInterrupt):
+        SkipGram(**kwargs, checkpoint_dir=d).fit_transform(g)
+    monkeypatch.undo()
+    # ... then resume to completion.
     resumed = SkipGram(**kwargs, checkpoint_dir=d).fit_transform(
         g
     ).node_embeddings[0]
     np.testing.assert_array_equal(np.asarray(full), np.asarray(resumed))
+
+
+def test_stale_checkpoint_from_other_graph_is_ignored(tmp_path):
+    """A checkpoint_dir shared across runs must never serve one graph's
+    result to another (ADVICE r2 high): fingerprint mismatch → fresh fit."""
+    from embiggen_tpu.graph import erdos_renyi
+    from embiggen_tpu.models.embedders import SkipGram
+
+    d = str(tmp_path / "ck")
+    kwargs = dict(
+        embedding_size=8, epochs=2, batch_size=16, walk_length=8,
+        window_size=2, number_of_negative_samples=4, random_state=7,
+    )
+    import embiggen_tpu.utils.checkpoint as ck
+    import pytest
+
+    g1 = karate_club()
+    # Leave a mid-run checkpoint for g1 behind (killed run).
+    killer = _KillAfter(1)
+    real = ck.save_pytree
+    ck.save_pytree = killer
+    try:
+        with pytest.raises(KeyboardInterrupt):
+            SkipGram(**kwargs, checkpoint_dir=d).fit_transform(g1)
+    finally:
+        ck.save_pytree = real
+    # A different graph with the same checkpoint_dir trains from scratch and
+    # returns embeddings of ITS OWN shape.
+    g2 = erdos_renyi(100, 400, seed=3)
+    with pytest.warns(UserWarning, match="different model"):
+        res = SkipGram(**kwargs, checkpoint_dir=d).fit_transform(g2)
+    assert res.node_embeddings[0].shape[0] == 100
 
 
 def test_phase_timer_and_profiler_hooks(tmp_path):

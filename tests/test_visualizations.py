@@ -84,15 +84,25 @@ def test_fit_and_plot_all(typed_weighted_karate, features):
     viz = GraphVisualizer(
         typed_weighted_karate, decomposition_method="PCA", random_state=0
     )
-    figures, comments = viz.fit_and_plot_all(features)
+    import warnings
+
+    with warnings.catch_warnings():
+        # fit_and_plot_all must not leak into pyplot's open-figure manager.
+        warnings.simplefilter("error", RuntimeWarning)
+        figures = viz.fit_and_plot_all(features)
     assert len(figures) >= 30
     assert all(fig is not None for fig, _ in figures)
     # commentary covers node types, pos/neg edges and edge types on this graph
+    comments = viz.get_separability_comments()
     assert len(comments) >= 2
     assert any("separable" in c for c in comments)
     import matplotlib.pyplot as plt
 
-    plt.close("all")
+    assert len(plt.get_fignums()) == 0
+    # closed figures must still render
+    import io
+
+    figures[0][0].savefig(io.BytesIO(), format="png")
 
 
 def test_tsne_and_3d(typed_weighted_karate, features):
