@@ -72,7 +72,7 @@ class _WalkletsBase(WalkBasedEmbedder):
     def _walks(self, dg: DeviceGraph, key):
         k_start, k_walk = jax.random.split(key)
         starts = jax.random.randint(
-            k_start, (self._batch_size,), 0, dg.n_nodes, dtype=jnp.int32
+            k_start, (self._run_batch(),), 0, dg.n_nodes, dtype=jnp.int32
         )
         starts = jnp.tile(starts, self._iterations)
         return random_walks(

@@ -100,21 +100,63 @@ class GCNEncoder:
         self.combiner = combiner
         self.dropout_rate = dropout_rate
         self.residual = residual
+        self._halo_mesh = None
+        self._halo_axis = None
 
     @property
     def has_convolutions(self) -> bool:
         return bool(self.kernel_names) and bool(self.units)
 
+    def enable_halo(self, mesh, axis: str = "nodes") -> None:
+        """Switch the encoder to the node-partitioned halo-exchange SpMM
+        (`parallel/halo.py`): features row-sharded over `mesh`, per-layer
+        communication ∝ boundary nodes. `build_kernels` then produces
+        `HaloPartition`s instead of `PaddedKernel`s. Dropout masks are drawn
+        on the UNPADDED [N, D] activations in the same key order as the
+        single-chip path, so a seeded sharded fit matches a single-chip fit
+        to float-reduction tolerance."""
+        self._halo_mesh = mesh
+        self._halo_axis = axis
+
     def build_kernels(self, graph: Graph):
         """One bucketed-ELLPACK `PaddedKernel` per kernel name — the
         scatter-free gather-contract layout `spmm_padded` consumes (built
         once here; the reference builds its tf.SparseTensor equivalents once
-        per fit, `abstract_gcn.py:1202-1221`)."""
+        per fit, `abstract_gcn.py:1202-1221`). In halo mode: one
+        `HaloPartition` per kernel instead."""
         out = []
         for name in self.kernel_names:
             rows, cols, vals = kernel_coo(graph, name)
-            out.append(pad_coo(rows, cols, vals, graph.number_of_nodes))
+            if self._halo_mesh is not None:
+                from ...parallel.halo import build_halo_partition
+
+                out.append(
+                    build_halo_partition(
+                        rows, cols, vals, graph.number_of_nodes,
+                        int(self._halo_mesh.devices.size),
+                    )
+                )
+            else:
+                out.append(pad_coo(rows, cols, vals, graph.number_of_nodes))
         return out
+
+    def _conv(self, pk, h: jnp.ndarray) -> jnp.ndarray:
+        """One kernel application: A @ h — bucketed gather-contract on one
+        chip, halo-exchange SpMM over the mesh in halo mode."""
+        if self._halo_mesh is None:
+            return spmm_padded(pk, h, self.combiner)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ...parallel.halo import halo_spmm
+
+        mesh, axis = self._halo_mesh, self._halo_axis
+        n = h.shape[0]
+        n_pad = pk.n_shards * pk.shard_size
+        hp = jnp.pad(h, ((0, n_pad - n), (0, 0)))
+        hp = jax.lax.with_sharding_constraint(
+            hp, NamedSharding(mesh, P(axis))
+        )
+        return halo_spmm(mesh, axis, pk, hp, self.combiner)[:n]
 
     def init(self, key, in_dim: int) -> Params:
         params: Params = {"kernels": []}
@@ -152,7 +194,7 @@ class GCNEncoder:
                         sub, 1.0 - self.dropout_rate, h.shape
                     )
                     h = jnp.where(keep, h / (1.0 - self.dropout_rate), 0.0)
-                h = spmm_padded(pk, h, self.combiner)
+                h = self._conv(pk, h)
                 h = jax.nn.relu(h @ layer["w"] + layer["b"])
             outs.append(h)
         h = jnp.concatenate(outs, axis=1) if len(outs) > 1 else outs[0]

@@ -62,10 +62,16 @@ class _EdgeGCNBase(AbstractClassifierModel):
         epochs: int = 200,
         learning_rate: float = 0.001,
         early_stopping_patience: int = 20,
+        mesh=None,
         checkpoint_dir: Optional[str] = None,
         checkpoint_interval: int = 10,
         random_state: int = 42,
     ):
+        # `mesh` (None | "auto" | int | jax.sharding.Mesh) trains the REAL
+        # model multi-chip: node-partitioned features + halo-exchange SpMM
+        # per conv layer (`parallel/halo.py`), replicated weights. Seeded
+        # sharded fits match single-chip fits to float-reduction tolerance.
+        self._mesh = mesh
         self._kernels = (
             list(kernels) if kernels is not None else list(self.DEFAULT_KERNELS)
         )
@@ -114,8 +120,12 @@ class _EdgeGCNBase(AbstractClassifierModel):
         return True
 
     def parameters(self) -> Dict[str, Any]:
+        mesh = self._mesh
+        if mesh is not None and not isinstance(mesh, (int, str)):
+            mesh = int(np.prod(list(mesh.devices.shape)))
         return {
             **super().parameters(),
+            "mesh": mesh,
             "kernels": self._kernels,
             "units": self._units,
             "tower_units": self._tower_units,
@@ -151,6 +161,9 @@ class _EdgeGCNBase(AbstractClassifierModel):
     def _build_common(self, graph: Graph, support: Graph, node_features, key,
                       node_type_features=None, edge_type_features=None,
                       edge_features=None):
+        from ...parallel.mesh import resolve_mesh
+
+        self._resolved_mesh = resolve_mesh(self._mesh, axis="nodes")
         self._encoder = GCNEncoder(
             self._kernels if self._units else None,
             self._units,
@@ -158,6 +171,10 @@ class _EdgeGCNBase(AbstractClassifierModel):
             dropout_rate=self._dropout_rate,
             residual=self._residual,
         )
+        if self._resolved_mesh is not None:
+            self._encoder.enable_halo(
+                self._resolved_mesh, self._resolved_mesh.axis_names[0]
+            )
         kernels = self._encoder.build_kernels(support)
         self._kernels_coo = kernels
 
@@ -272,6 +289,12 @@ class _EdgeGCNBase(AbstractClassifierModel):
                 / np.sqrt(self._edge_type_embedding_size)
             )
         self._combine_fn = combine_fn
+        if self._resolved_mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            params = jax.device_put(
+                params, NamedSharding(self._resolved_mesh, P())
+            )
         return params, kernels
 
     def _lookup_edge_ids(self, src, dst):

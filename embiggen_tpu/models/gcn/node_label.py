@@ -51,10 +51,14 @@ class GCNNodeLabelPrediction(AbstractNodeLabelPredictionModel):
         epochs: int = 200,
         learning_rate: float = 0.01,
         early_stopping_patience: int = 20,
+        mesh=None,
         checkpoint_dir: Optional[str] = None,
         checkpoint_interval: int = 10,
         random_state: int = 42,
     ):
+        # `mesh`: multi-chip fit via node-partitioned halo-exchange SpMM
+        # (see _EdgeGCNBase); seeded sharded fits match single-chip fits.
+        self._mesh = mesh
         self._kernels = (
             list(kernels) if kernels is not None else list(self.DEFAULT_KERNELS)
         )
@@ -89,8 +93,12 @@ class GCNNodeLabelPrediction(AbstractNodeLabelPredictionModel):
         return True
 
     def parameters(self) -> Dict[str, Any]:
+        mesh = self._mesh
+        if mesh is not None and not isinstance(mesh, (int, str)):
+            mesh = int(np.prod(list(mesh.devices.shape)))
         return {
             **super().parameters(),
+            "mesh": mesh,
             "kernels": self._kernels,
             "units": self._units,
             "head_units": self._head_units,
@@ -125,6 +133,9 @@ class GCNNodeLabelPrediction(AbstractNodeLabelPredictionModel):
         self._multilabel = graph.has_multilabel_node_types()
         self._n_classes = graph.number_of_node_types
 
+        from ...parallel.mesh import resolve_mesh
+
+        self._resolved_mesh = resolve_mesh(self._mesh, axis="nodes")
         self._encoder = GCNEncoder(
             self._kernels if self._units else None,
             self._units,
@@ -132,6 +143,10 @@ class GCNNodeLabelPrediction(AbstractNodeLabelPredictionModel):
             dropout_rate=self._dropout_rate,
             residual=self._residual,
         )
+        if self._resolved_mesh is not None:
+            self._encoder.enable_halo(
+                self._resolved_mesh, self._resolved_mesh.axis_names[0]
+            )
         kernels = self._encoder.build_kernels(support)
         self._kernels_coo = kernels
 
@@ -162,6 +177,12 @@ class GCNNodeLabelPrediction(AbstractNodeLabelPredictionModel):
             k_head, [rep_dim] + self._head_units + [self._n_classes]
         )
         params = {"embed": embed_params, "enc": enc_params, "head": head_params}
+        if self._resolved_mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            params = jax.device_put(
+                params, NamedSharding(self._resolved_mesh, P())
+            )
 
         # Targets and masks.
         if self._multilabel:

@@ -92,6 +92,15 @@ def get_lib() -> Optional[ctypes.CDLL]:
         ctypes.c_double, ctypes.c_double,
         ctypes.c_uint64, ctypes.c_int, ctypes.POINTER(ctypes.c_int32),
     ]
+    lib.skipgram_train_cpu.restype = None
+    lib.skipgram_train_cpu.argtypes = [
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_float,
+        ctypes.c_uint64, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+    ]
     _lib = lib
     return _lib
 
@@ -231,3 +240,56 @@ def native_random_walks(
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
     )
     return out
+
+
+def native_skipgram_train(
+    row_ptr: np.ndarray,
+    col_idx: np.ndarray,
+    batch: int,
+    length: int,
+    window: int,
+    n_negatives: int,
+    dim: int,
+    lr: float = 0.05,
+    seed: int = 0,
+    n_threads: Optional[int] = None,
+    emb: Optional[np.ndarray] = None,
+    ctx: Optional[np.ndarray] = None,
+):
+    """Threaded hogwild CPU SkipGram trainer (walks + negatives + SGD on f32
+    tables) — the whole-trainer baseline standing in for GRAPE's Rust
+    `ensmallen.models.SkipGram.fit_transform` (reference
+    `ensmallen_embedders/node2vec.py:93-112`). Mutates/returns (emb, ctx)
+    or None if the lib is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    row_ptr = np.ascontiguousarray(row_ptr, dtype=np.int64)
+    col_idx = np.ascontiguousarray(col_idx, dtype=np.int32)
+    n_nodes = row_ptr.shape[0] - 1
+    rng = np.random.default_rng(seed)
+    if emb is None:
+        emb = (rng.random((n_nodes, dim), dtype=np.float32) - 0.5) / dim
+    if ctx is None:
+        ctx = np.zeros((n_nodes, dim), dtype=np.float32)
+    emb = np.ascontiguousarray(emb, dtype=np.float32)
+    ctx = np.ascontiguousarray(ctx, dtype=np.float32)
+    if n_threads is None:
+        n_threads = os.cpu_count() or 1
+    lib.skipgram_train_cpu(
+        row_ptr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        col_idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ctypes.c_int64(n_nodes),
+        ctypes.c_int64(col_idx.shape[0]),
+        ctypes.c_int64(batch),
+        ctypes.c_int64(length),
+        ctypes.c_int64(window),
+        ctypes.c_int64(n_negatives),
+        ctypes.c_int64(dim),
+        ctypes.c_float(lr),
+        ctypes.c_uint64(seed),
+        ctypes.c_int(int(n_threads)),
+        emb.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ctx.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+    )
+    return emb, ctx

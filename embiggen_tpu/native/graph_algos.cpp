@@ -216,4 +216,79 @@ void random_walks_cpu(const int64_t* row_ptr, const int32_t* col_idx,
   for (auto& th : threads) th.join();
 }
 
+// Whole-trainer CPU baseline: threaded hogwild SkipGram SGD — walks,
+// window extraction, degree-proportional negative sampling and the f32
+// table updates all on the CPU, the in-repo stand-in for GRAPE's Rust
+// whole-model trainers (reference `ensmallen_embedders/node2vec.py:93-112`:
+// `self._model.fit_transform(graph)` is one Rust call doing exactly this).
+// word2vec semantics: per (center, context) pair one positive sigmoid-SGD
+// update + n_negatives corrupted-context updates; score clipping at +-6.
+void skipgram_train_cpu(const int64_t* row_ptr, const int32_t* col_idx,
+                        int64_t n_nodes, int64_t n_arcs,
+                        int64_t batch, int64_t length, int64_t window,
+                        int64_t n_negatives, int64_t dim, float lr,
+                        uint64_t seed, int n_threads,
+                        float* emb, float* ctx) {
+  auto worker = [&](int64_t b0, int64_t b1, uint64_t tseed) {
+    uint64_t rng = tseed * 0x9E3779B97F4A7C15ULL + 0xD1B54A32D192ED03ULL;
+    xorshift64(&rng);
+    std::vector<int32_t> walk((size_t)length);
+    std::vector<float> grad_c((size_t)dim);
+    for (int64_t b = b0; b < b1; ++b) {
+      // Uniform first-order walk (p = q = 1, the DeepWalk/PR1 config).
+      int32_t curr = (int32_t)(xorshift64(&rng) % (uint64_t)n_nodes);
+      walk[0] = curr;
+      for (int64_t t = 1; t < length; ++t) {
+        const int64_t s = row_ptr[curr], e = row_ptr[curr + 1];
+        const int64_t deg = e - s;
+        if (deg > 0)
+          curr = col_idx[s + (int64_t)(xorshift64(&rng) % (uint64_t)deg)];
+        walk[t] = curr;
+      }
+      for (int64_t c = window; c < length - window; ++c) {
+        const int32_t w = walk[c];
+        float* we = emb + (size_t)w * dim;
+        for (int64_t o = -window; o <= window; ++o) {
+          if (o == 0) continue;
+          const int32_t u = walk[c + o];
+          // One positive + n_negatives updates (negatives drawn
+          // degree-proportionally: a uniformly random arc endpoint).
+          for (int64_t k = 0; k <= n_negatives; ++k) {
+            int32_t target;
+            float label;
+            if (k == 0) { target = u; label = 1.0f; }
+            else {
+              target = col_idx[xorshift64(&rng) % (uint64_t)n_arcs];
+              label = 0.0f;
+            }
+            float* ce = ctx + (size_t)target * dim;
+            float score = 0.0f;
+            for (int64_t i = 0; i < dim; ++i) score += we[i] * ce[i];
+            if (score > 6.0f) score = 6.0f;
+            if (score < -6.0f) score = -6.0f;
+            const float g = (label - 1.0f / (1.0f + std::exp(-score))) * lr;
+            if (k == 0)
+              for (int64_t i = 0; i < dim; ++i) grad_c[i] = g * ce[i];
+            else
+              for (int64_t i = 0; i < dim; ++i) grad_c[i] += g * ce[i];
+            for (int64_t i = 0; i < dim; ++i) ce[i] += g * we[i];
+          }
+          for (int64_t i = 0; i < dim; ++i) we[i] += grad_c[i];
+        }
+      }
+    }
+  };
+  if (n_threads < 1) n_threads = (int)std::thread::hardware_concurrency();
+  if (n_threads < 1) n_threads = 1;
+  std::vector<std::thread> threads;
+  const int64_t chunk = (batch + n_threads - 1) / n_threads;
+  for (int t = 0; t < n_threads; ++t) {
+    const int64_t b0 = t * chunk;
+    const int64_t b1 = std::min(batch, b0 + chunk);
+    if (b0 >= b1) break;
+    threads.emplace_back(worker, b0, b1, seed + (uint64_t)t);
+  }
+  for (auto& th : threads) th.join();
+}
+
 }  // extern "C"

@@ -81,6 +81,20 @@ def _scatter_add_owned(shard, idx, updates, axis):
     return shard.at[local].add(jnp.where(mask, updates, 0))
 
 
+def _mean_scatter_owned(shard, idx, grads, lr, axis):
+    """Row-sharded counterpart of `walk_based._mean_scatter`: a row appearing
+    k times in the (replicated, global) `idx` receives the AVERAGE of its k
+    gradients, once, at full lr — applied only by the owning shard, no comm.
+    Counts use only a [shard_rows] buffer."""
+    local, ok = _owned(idx, shard.shape[0], axis)
+    okf = ok.astype(jnp.float32)
+    counts = jnp.zeros((shard.shape[0],), jnp.float32).at[local].add(okf)
+    scale = okf / jnp.maximum(counts[local], 1.0)
+    if grads.ndim > 1:
+        scale = scale[:, None]
+    return shard.at[local].add(-lr * grads * scale)
+
+
 def make_row_sharded_skipgram_step(
     mesh: Mesh,
     dg: DeviceGraph,
