@@ -101,6 +101,14 @@ def get_lib() -> Optional[ctypes.CDLL]:
         ctypes.c_uint64, ctypes.c_int,
         ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
     ]
+    lib.dag_mica_block.restype = None
+    lib.dag_mica_block.argtypes = [
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_double),
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+        ctypes.c_int, ctypes.POINTER(ctypes.c_double),
+    ]
     _lib = lib
     return _lib
 
@@ -293,3 +301,39 @@ def native_skipgram_train(
         ctx.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
     )
     return emb, ctx
+
+
+def dag_mica_block(
+    indptr: np.ndarray,
+    ranks: np.ndarray,
+    ic_by_rank: np.ndarray,
+    src: np.ndarray,
+    dst: np.ndarray,
+    n_threads: Optional[int] = None,
+):
+    """Threaded MICA-IC block query over a rank-sorted CSR ancestor closure
+    (see DAGResnik CSR path in `similarities.py`). Returns [|src|, |dst|]
+    float64 or None if the lib is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    indptr = np.ascontiguousarray(indptr, dtype=np.int64)
+    ranks = np.ascontiguousarray(ranks, dtype=np.int32)
+    ic_by_rank = np.ascontiguousarray(ic_by_rank, dtype=np.float64)
+    src = np.ascontiguousarray(src, dtype=np.int64)
+    dst = np.ascontiguousarray(dst, dtype=np.int64)
+    out = np.empty((src.shape[0], dst.shape[0]), dtype=np.float64)
+    if n_threads is None:
+        n_threads = os.cpu_count() or 1
+    lib.dag_mica_block(
+        indptr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ranks.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ic_by_rank.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        src.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ctypes.c_int64(src.shape[0]),
+        dst.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ctypes.c_int64(dst.shape[0]),
+        ctypes.c_int(int(n_threads)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+    )
+    return out

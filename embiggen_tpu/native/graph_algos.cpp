@@ -291,4 +291,48 @@ void skipgram_train_cpu(const int64_t* row_ptr, const int32_t* col_idx,
   for (auto& th : threads) th.join();
 }
 
+// DAG Resnik MICA block query over a CSR ancestor closure whose row lists
+// are sorted ASCENDING BY IC-RANK (rank 0 = most informative). The most
+// informative common ancestor of a pair is then the FIRST common element of
+// the two sorted lists — one two-pointer merge per pair, O(|anc_s|+|anc_d|).
+// This replaces the O(N^2/8) packed-bitset layout for large ontologies
+// (memory proportional to the closure, not N^2/8); the reference Rust
+// `models.DAGResnik` serves whole ontologies (reference
+// `embiggen/similarities/dag_resnik.py:7-438`).
+void dag_mica_block(const int64_t* indptr, const int32_t* ranks,
+                    const double* ic_by_rank,
+                    const int64_t* src, int64_t n_src,
+                    const int64_t* dst, int64_t n_dst,
+                    int n_threads, double* out) {
+  auto worker = [&](int64_t i0, int64_t i1) {
+    for (int64_t i = i0; i < i1; ++i) {
+      const int64_t s0 = indptr[src[i]], s1 = indptr[src[i] + 1];
+      double* row = out + i * n_dst;
+      for (int64_t j = 0; j < n_dst; ++j) {
+        int64_t a = s0, b = indptr[dst[j]];
+        const int64_t b1 = indptr[dst[j] + 1];
+        double sim = 0.0;
+        while (a < s1 && b < b1) {
+          const int32_t ra = ranks[a], rb = ranks[b];
+          if (ra == rb) { sim = ic_by_rank[ra]; break; }
+          if (ra < rb) ++a; else ++b;
+        }
+        row[j] = sim;
+      }
+    }
+  };
+  if (n_threads < 1) n_threads = (int)std::thread::hardware_concurrency();
+  if (n_threads < 1) n_threads = 1;
+  if (n_src < 64) n_threads = 1;
+  std::vector<std::thread> threads;
+  const int64_t chunk = (n_src + n_threads - 1) / n_threads;
+  for (int t = 0; t < n_threads; ++t) {
+    const int64_t i0 = t * chunk;
+    const int64_t i1 = std::min(n_src, i0 + chunk);
+    if (i0 >= i1) break;
+    threads.emplace_back(worker, i0, i1);
+  }
+  for (auto& th : threads) th.join();
+}
+
 }  // extern "C"

@@ -93,6 +93,68 @@ def test_dag_resnik_matches_bruteforce_on_random_dag():
             assert got[i, j] == pytest.approx(want), (a, b)
 
 
+def _random_dag(n, seed):
+    rng = np.random.default_rng(seed)
+    src_l, dst_l = [], []
+    for v in range(1, n):
+        k = int(rng.integers(1, min(3, v) + 1))
+        for p in rng.choice(v, size=k, replace=False):
+            src_l.append(v)
+            dst_l.append(int(p))
+    return Graph.from_edge_arrays(
+        np.asarray(src_l), np.asarray(dst_l), n_nodes=n, directed=True,
+        name=f"rand_dag{n}",
+    )
+
+
+def test_dag_resnik_csr_path_matches_bitset(monkeypatch):
+    """The large-ontology CSR closure (threaded C++ two-pointer MICA, no
+    N²/8 bitset matrix) returns EXACTLY the bitset path's similarities."""
+    import embiggen_tpu.similarities as S
+
+    dag = _random_dag(400, seed=3)
+    counts = {
+        name: float(c)
+        for name, c in zip(
+            dag.get_node_names(),
+            np.random.default_rng(0).integers(1, 20, dag.number_of_nodes),
+        )
+    }
+    ref = S.DAGResnik().fit(dag, node_counts=counts)
+    monkeypatch.setattr(S, "_BITSET_MAX_NODES", 10)  # force CSR layout
+    csr = S.DAGResnik().fit(dag, node_counts=counts)
+    assert csr._anc_by_ic is None and csr._anc_ranks is not None
+    rng = np.random.default_rng(1)
+    a = rng.integers(0, 400, 50)
+    b = rng.integers(0, 400, 30)
+    np.testing.assert_allclose(
+        csr.get_similarities_from_bipartite_graph_node_ids(a, b),
+        ref.get_similarities_from_bipartite_graph_node_ids(a, b),
+        atol=1e-12,
+    )
+    np.testing.assert_allclose(
+        csr.get_information_content(), ref.get_information_content(),
+        atol=1e-12,
+    )
+
+
+def test_dag_resnik_scales_past_bitset_wall():
+    """A 50k-term ontology (the bitset layout would need ~312 MB and 100k+
+    would need GBs) fits and answers a 200x200 bipartite query quickly via
+    the CSR path."""
+    from embiggen_tpu.similarities import DAGResnik
+
+    dag = _random_dag(50_000, seed=4)
+    model = DAGResnik().fit(dag)
+    assert model._anc_by_ic is None  # CSR layout chosen
+    rng = np.random.default_rng(2)
+    sim = model.get_similarities_from_bipartite_graph_node_ids(
+        rng.integers(0, 50_000, 200), rng.integers(0, 50_000, 200)
+    )
+    assert sim.shape == (200, 200) and np.isfinite(sim).all()
+    assert (sim > 0).any()
+
+
 def test_embedding_cache(tmp_path, monkeypatch):
     import embiggen_tpu.utils.cache as cache_mod
 
