@@ -1,6 +1,6 @@
-"""Benchmark: on-device random-walk + SkipGram training throughput and SpMM
-edges/s on one TPU chip (BASELINE.json metric: "walk-steps/s and edges/s per
-chip").
+"""Benchmark: on-device random-walk + SkipGram training throughput, SpMM
+edges/s and a full GCN edge-prediction epoch on one TPU chip (BASELINE.json
+metric: "walk-steps/s and edges/s per chip").
 
 Prints ONE JSON line:
   {"metric": "walk_steps_per_s", "value": N, "unit": "steps/s",
@@ -8,20 +8,30 @@ Prints ONE JSON line:
 
 Measurement methodology: each metric runs K data-dependent iterations INSIDE
 one jit (`lax.scan`), i.e. the production shape of the training loops, and
-the result is forced to the host — so dispatch overhead, execution caching
-and async illusions cannot distort the numbers.
+the result is forced to the host (a `float(...)` on a scalar leaf — over the
+axon tunnel `block_until_ready` alone does not guarantee execution
+completed) — so dispatch overhead, execution caching and async illusions
+cannot distort the numbers.
 
-`vs_baseline` compares against the best-effort multicore CPU walker
-measured in the same run: the native multithreaded C++ kernel in
-`embiggen_tpu/native/graph_algos.cpp` (the in-repo stand-in for GRAPE's
-Rust walker — same algorithm: uniform/rejection-sampled p/q steps over
-CSR). First-order is `cpu_proxy_steps_per_s`, second-order (p=0.5, q=2)
-is `cpu_proxy2_steps_per_s`.
+Baselines measured in the same run on this machine's cores (the in-repo
+C++ stand-ins for GRAPE's Rust engine, `embiggen_tpu/native/graph_algos.cpp`):
+  * `cpu_proxy_steps_per_s` / `cpu_proxy2_steps_per_s` — multithreaded
+    first/second-order walkers (same algorithm: uniform/rejection-sampled
+    p/q steps over CSR).
+  * `cpu_train_centers_per_s` — threaded hogwild whole-model SkipGram
+    trainer (walks + degree-proportional negatives + SGD on f32 tables),
+    the analogue of `ensmallen.models.SkipGram.fit_transform` (reference
+    `ensmallen_embedders/node2vec.py:93-112`).
+`vs_baseline` = walk_steps_per_s / cpu_proxy_steps_per_s;
+`train_vs_baseline` = skipgram_train_centers_per_s / cpu_train_centers_per_s.
 """
 import json
+import os
 import time
 
 import numpy as np
+
+WALK_BATCHES = (8192, 65536, 262144)
 
 
 def _build_graph(n_nodes=1_000_000, n_edges=10_000_000, seed=0):
@@ -36,15 +46,15 @@ def _run_timed(fn, *args, reps=3):
     scalar to host."""
     import jax
 
-    out = fn(*args)
-    jax.block_until_ready(out)
+    def force(out):
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        float(np.asarray(leaf).reshape(-1)[0])
+
+    force(fn(*args))
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
-        out = fn(*args)
-        jax.block_until_ready(out)
-        leaf = jax.tree_util.tree_leaves(out)[0]
-        float(np.asarray(leaf).reshape(-1)[0])
+        force(fn(*args))
         best = min(best, time.perf_counter() - t0)
     return best
 
@@ -94,6 +104,32 @@ def cpu_walk_proxy(
     return batch * (length - 1) / dt
 
 
+def cpu_train_proxy(graph, length=64, window=5, n_neg=10, dim=128, seed=0):
+    """Whole-trainer CPU baseline (threaded hogwild SkipGram-SGD). Returns
+    centers/s or None when the native lib is unavailable."""
+    from embiggen_tpu.native import native_skipgram_train
+
+    n = graph.number_of_nodes
+    batch = 1024
+    emb = (np.random.default_rng(seed).random((n, dim), np.float32) - 0.5) / dim
+    ctx = np.zeros((n, dim), np.float32)
+    got = native_skipgram_train(
+        graph.row_ptr, np.asarray(graph.col_idx), batch, length, window,
+        n_neg, dim, seed=seed, emb=emb, ctx=ctx,
+    )
+    if got is None:
+        return None
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        native_skipgram_train(
+            graph.row_ptr, np.asarray(graph.col_idx), batch, length, window,
+            n_neg, dim, seed=seed, emb=emb, ctx=ctx,
+        )
+        best = min(best, time.perf_counter() - t0)
+    return batch * (length - 2 * window) / best
+
+
 def main():
     import sys
 
@@ -112,53 +148,60 @@ def main():
     _mark('device ' + str(dev))
     graph = _build_graph()
     _mark('graph built')
-    dg = graph.device()
+    # ell_cap=32 builds the capped ELLPACK adjacency powering the
+    # second-order row-gather sampler (one 128-byte descriptor per walker
+    # per step instead of ~50 element gathers).
+    dg = graph.device(ell_cap=32)
     key = jax.random.PRNGKey(0)
     n_nodes = graph.number_of_nodes
 
-    batch, length, k_iters = 8192, 128, 10
+    length = 128
 
-    # --- first-order walk throughput: K chained batches inside one jit
-    @jax.jit
-    def walk_chain(dg, starts, k):
-        def body(carry, _):
-            s, kk = carry
-            k1, k2 = jax.random.split(kk)
-            w = random_walks(dg, s, length, k1)
-            return (w[:, -1], k2), None
+    # --- first-order walk throughput vs batch: chained batches in one jit
+    def make_walk_chain(second_order, wl, k_iters):
+        @jax.jit
+        def walk_chain(dg, starts, k):
+            def body(carry, _):
+                s, kk = carry
+                k1, k2 = jax.random.split(kk)
+                if second_order:
+                    w = random_walks(
+                        dg, s, wl, k1, return_weight=2.0,
+                        explore_weight=0.5, max_neighbours=32,
+                    )
+                else:
+                    w = random_walks(dg, s, wl, k1)
+                return (w[:, -1], k2), None
 
-        carry, _ = lax.scan(body, (starts, k), None, length=k_iters)
-        return carry[0]
+            carry, _ = lax.scan(body, (starts, k), None, length=k_iters)
+            return carry[0]
 
-    starts0 = jnp.arange(batch, dtype=jnp.int32) % n_nodes
-    dt = _run_timed(walk_chain, dg, starts0, key) / k_iters
-    _mark('walk1 done')
-    walk_steps_per_s = batch * (length - 1) / dt
+        return walk_chain
 
-    # --- second-order (p/q) walk throughput
-    @jax.jit
-    def walk2_chain(dg, starts, k):
-        def body(carry, _):
-            s, kk = carry
-            k1, k2 = jax.random.split(kk)
-            w = random_walks(
-                dg, s, 32, k1, return_weight=2.0, explore_weight=0.5,
-                max_neighbours=32,
-            )
-            return (w[:, -1], k2), None
+    walk1_by_batch, walk2_by_batch = {}, {}
+    for batch in WALK_BATCHES:
+        k_iters = max(2, (10 * 8192) // batch)
+        starts = jnp.arange(batch, dtype=jnp.int32) % n_nodes
+        dt = _run_timed(
+            make_walk_chain(False, length, k_iters), dg, starts, key
+        ) / k_iters
+        walk1_by_batch[batch] = batch * (length - 1) / dt
+        dt = _run_timed(
+            make_walk_chain(True, 32, k_iters), dg, starts, key
+        ) / k_iters
+        walk2_by_batch[batch] = batch * 31 / dt
+        _mark(f'walks B={batch} done')
+    walk_steps_per_s = max(walk1_by_batch.values())
+    walk2_steps_per_s = max(walk2_by_batch.values())
 
-        carry, _ = lax.scan(body, (starts, k), None, length=k_iters)
-        return carry[0]
-
-    dt_so = _run_timed(walk2_chain, dg, starts0, key) / k_iters
-    _mark('walk2 done')
-    walk2_steps_per_s = batch * 31 / dt_so
-
-    # --- fused SkipGram train: K steps scanned inside one jit
+    # --- fused SkipGram train: K steps scanned inside one jit, at the
+    # auto-scaled production batch (batch_size=None → n_nodes/8 capped 32k)
     from embiggen_tpu.models.embedders import SkipGram
 
+    train_batch = 32768
+    k_iters = 10
     model = SkipGram(
-        embedding_size=128, epochs=1, batch_size=1024, walk_length=64,
+        embedding_size=128, epochs=1, batch_size=train_batch, walk_length=64,
         window_size=5, number_of_negative_samples=10, random_state=0,
     )
     params = model._init_params(graph, key)
@@ -180,14 +223,16 @@ def main():
 
     dt_train = _run_timed(train_chain, dg, params, key) / k_iters
     _mark('train done')
-    centers = 1024 * (64 - 10)
+    centers = train_batch * (64 - 10)
     train_centers_per_s = centers / dt_train
 
     # --- SpMM edges/s: K chained multiplies inside one jit, through the
-    # production bucketed-ELLPACK path GCNEncoder uses (spmm_padded). The
+    # production single-K ELLPACK path GCNEncoder uses (spmm_padded). The
     # slow COO segment-sum path is also measured for reference.
     rows, cols, vals = kernel_coo(graph, "Symmetric Normalized Laplacian")
+    t0 = time.perf_counter()
     pk = pad_coo(rows, cols, vals, n_nodes)
+    pad_coo_s = time.perf_counter() - t0
     x0 = jax.random.normal(key, (n_nodes, 128), jnp.float32)
     spmm_iters = 5
 
@@ -204,8 +249,7 @@ def main():
     _mark('spmm_pad done')
     spmm_edges_per_s = graph.number_of_directed_edges / dt_spmm
     # effective HBM traffic of the gather-contract: ~N*K*D*4 bytes/pass
-    pad_elems = sum(int(np.prod(c.shape)) for c in pk.bucket_cols)
-    spmm_gbytes_per_s = pad_elems * 128 * 4 * 2 / dt_spmm / 1e9
+    spmm_gbytes_per_s = pk.padded_elements * 128 * 4 * 2 / dt_spmm / 1e9
 
     rows_d = jnp.asarray(rows, jnp.int32)
     cols_d = jnp.asarray(cols, jnp.int32)
@@ -224,30 +268,80 @@ def main():
     _mark('spmm_coo done')
     spmm_coo_edges_per_s = graph.number_of_directed_edges / dt_coo
 
+    # --- full GCN edge-prediction training epoch at bench scale through the
+    # production model: per step, 2-layer full-graph convolution (fwd +
+    # transposed-kernel bwd) + 1M-edge on-device minibatch + towers/head.
+    gcn = None
+    if os.environ.get("EMBIGGEN_BENCH_GCN", "1") != "0":
+        from embiggen_tpu.models.gcn import GCNEdgePrediction
+
+        gcn_batch = 1 << 20
+        m = GCNEdgePrediction(
+            epochs=1, batch_size=gcn_batch, dropout_rate=0.0,
+            early_stopping_patience=10**6, random_state=0,
+        )
+        xfeat = np.asarray(x0)
+        t0 = time.perf_counter()
+        m.fit(graph, node_features=[xfeat])
+        gcn_fit_s = time.perf_counter() - t0
+        steps = max(1, graph.number_of_directed_edges // gcn_batch)
+        # setup (kernel relayout, feature normalization) measured by refit
+        # with zero epochs is not exposed; approximate per-step cost by a
+        # second fit reusing the warm jit cache.
+        t0 = time.perf_counter()
+        m.fit(graph, node_features=[xfeat])
+        gcn_fit_warm_s = time.perf_counter() - t0
+        gcn = {
+            "gcn_epoch_s": round(gcn_fit_warm_s, 2),
+            "gcn_first_fit_s": round(gcn_fit_s, 2),
+            # host-side kernel relayout cost included in each fit (one
+            # pad_coo per kernel; measured on the same graph above)
+            "gcn_setup_pad_coo_s": round(pad_coo_s, 2),
+            "gcn_steps_per_epoch": steps,
+            "gcn_edges_per_s": round(
+                steps * gcn_batch / gcn_fit_warm_s
+            ),
+        }
+        _mark('gcn epoch done')
+
     cpu_proxy = cpu_walk_proxy(graph)
     cpu_proxy2 = cpu_walk_proxy(
         graph, return_weight=2.0, explore_weight=0.5
     )
+    cpu_train = cpu_train_proxy(graph)
+    _mark('cpu baselines done')
 
-    print(
-        json.dumps(
-            {
-                "metric": "walk_steps_per_s",
-                "value": round(walk_steps_per_s),
-                "unit": "steps/s",
-                "vs_baseline": round(walk_steps_per_s / cpu_proxy, 3),
-                "device": str(dev),
-                "graph": f"ER(n={n_nodes},arcs={graph.number_of_directed_edges})",
-                "walk2_steps_per_s": round(walk2_steps_per_s),
-                "skipgram_train_centers_per_s": round(train_centers_per_s),
-                "spmm_edges_per_s": round(spmm_edges_per_s),
-                "spmm_gbytes_per_s": round(spmm_gbytes_per_s, 1),
-                "spmm_coo_edges_per_s": round(spmm_coo_edges_per_s),
-                "cpu_proxy_steps_per_s": round(cpu_proxy),
-                "cpu_proxy2_steps_per_s": round(cpu_proxy2),
-            }
+    result = {
+        "metric": "walk_steps_per_s",
+        "value": round(walk_steps_per_s),
+        "unit": "steps/s",
+        "vs_baseline": round(walk_steps_per_s / cpu_proxy, 3),
+        "device": str(dev),
+        "graph": f"ER(n={n_nodes},arcs={graph.number_of_directed_edges})",
+        "walk2_steps_per_s": round(walk2_steps_per_s),
+        "walk_steps_by_batch": {
+            str(b): round(v) for b, v in walk1_by_batch.items()
+        },
+        "walk2_steps_by_batch": {
+            str(b): round(v) for b, v in walk2_by_batch.items()
+        },
+        "walk2_vs_cpu": round(walk2_steps_per_s / cpu_proxy2, 3),
+        "skipgram_train_centers_per_s": round(train_centers_per_s),
+        "train_batch": train_batch,
+        "spmm_edges_per_s": round(spmm_edges_per_s),
+        "spmm_gbytes_per_s": round(spmm_gbytes_per_s, 1),
+        "spmm_coo_edges_per_s": round(spmm_coo_edges_per_s),
+        "cpu_proxy_steps_per_s": round(cpu_proxy),
+        "cpu_proxy2_steps_per_s": round(cpu_proxy2),
+    }
+    if cpu_train is not None:
+        result["cpu_train_centers_per_s"] = round(cpu_train)
+        result["train_vs_baseline"] = round(
+            train_centers_per_s / cpu_train, 3
         )
-    )
+    if gcn is not None:
+        result.update(gcn)
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

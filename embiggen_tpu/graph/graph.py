@@ -44,16 +44,29 @@ class DeviceGraph:
     n_nodes: int
     n_arcs: int
     max_degree: int = 0
+    # Capped ELLPACK adjacency for the row-gather p/q walk kernel: row i holds
+    # the first min(deg(i), ell_cap) neighbour ids (-1 padding). One 4*cap-byte
+    # row gather replaces ~50 element gathers per second-order step (see
+    # ops/walks.py::_second_order_step_ell).
+    ell_cols: Optional["jax.Array"] = None  # [N, ell_cap] int32, -1 padded
+    ell_w: Optional["jax.Array"] = None     # [N, ell_cap] f32 edge weights
+    ell_cap: int = 0
 
     def tree_flatten(self):
         children = (self.row_ptr, self.col_idx, self.degrees, self.weights,
-                    self.edge_types, self.alias_prob, self.alias_idx)
-        aux = (self.n_nodes, self.n_arcs, self.max_degree)
+                    self.edge_types, self.alias_prob, self.alias_idx,
+                    self.ell_cols, self.ell_w)
+        aux = (self.n_nodes, self.n_arcs, self.max_degree, self.ell_cap)
         return children, aux
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children, *aux)
+        (row_ptr, col_idx, degrees, weights, edge_types, alias_prob,
+         alias_idx, ell_cols, ell_w) = children
+        n_nodes, n_arcs, max_degree, ell_cap = aux
+        return cls(row_ptr, col_idx, degrees, weights, edge_types,
+                   alias_prob, alias_idx, n_nodes, n_arcs, max_degree,
+                   ell_cols, ell_w, ell_cap)
 
 
 def _register_device_graph():
@@ -556,8 +569,14 @@ class Graph(ReferenceGraphAPI):
         with_alias: bool = False,
         with_weights: bool = True,
         dtype=None,
+        ell_cap: Optional[int] = None,
     ) -> DeviceGraph:
-        """Export as a DeviceGraph pytree of jnp arrays for on-device kernels."""
+        """Export as a DeviceGraph pytree of jnp arrays for on-device kernels.
+
+        `ell_cap` additionally builds the capped ELLPACK adjacency ([N, cap]
+        int32, -1 padded, first `cap` CSR entries per row — the same capped
+        candidate set the exact p/q sampler uses) that powers the row-gather
+        second-order walk kernel (`ops/walks.py::_second_order_step_ell`)."""
         import jax.numpy as jnp
 
         alias_prob = alias_idx = None
@@ -565,6 +584,27 @@ class Graph(ReferenceGraphAPI):
             prob, alias = build_alias_tables(self.row_ptr, self.weights)
             alias_prob = jnp.asarray(prob)
             alias_idx = jnp.asarray(alias)
+        ell_cols = ell_w = None
+        if ell_cap is not None and ell_cap > 0:
+            cap = int(min(ell_cap, max(int(self.degrees.max(initial=1)), 1)))
+            n = self.number_of_nodes
+            counts = np.minimum(self.degrees.astype(np.int64), cap)
+            # per-edge position within its row; keep the first `cap`
+            row_start = self.row_ptr[:-1].astype(np.int64)
+            rows = np.repeat(np.arange(n, dtype=np.int64),
+                             self.degrees.astype(np.int64))
+            pos = np.arange(rows.shape[0], dtype=np.int64) - row_start[rows]
+            keep = pos < cap
+            ecols = np.full((n, cap), -1, np.int32)
+            ecols[rows[keep], pos[keep]] = self.col_idx[keep]
+            ell_cols = jnp.asarray(ecols)
+            if self.weights is not None:
+                ew = np.zeros((n, cap), np.float32)
+                ew[rows[keep], pos[keep]] = self.weights[keep]
+                ell_w = jnp.asarray(ew)
+            ell_cap = cap
+        else:
+            ell_cap = 0
         return DeviceGraph(
             row_ptr=jnp.asarray(self.row_ptr, dtype=jnp.int32),
             col_idx=jnp.asarray(self.col_idx, dtype=jnp.int32),
@@ -584,6 +624,9 @@ class Graph(ReferenceGraphAPI):
             n_nodes=self.number_of_nodes,
             n_arcs=self.number_of_directed_edges,
             max_degree=int(self.degrees.max(initial=0)),
+            ell_cols=ell_cols,
+            ell_w=ell_w,
+            ell_cap=ell_cap,
         )
 
     # -------------------------------------------------------------- analysis

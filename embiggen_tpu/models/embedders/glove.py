@@ -93,7 +93,13 @@ class GloVe(AbstractEmbeddingModel):
     def _cooccurrences(self, graph: Graph) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         """(centers, contexts, counts) with distance-decayed weights, from
         `iterations` walks per node."""
-        dg = graph.device(with_alias=graph.has_edge_weights)
+        second_order = (
+            self._return_weight != 1.0 or self._explore_weight != 1.0
+        )
+        dg = graph.device(
+            with_alias=graph.has_edge_weights,
+            ell_cap=(self._max_neighbours or 100) if second_order else None,
+        )
         key = jax.random.PRNGKey(self.random_state or 0)
         n = graph.number_of_nodes
         starts = jnp.tile(

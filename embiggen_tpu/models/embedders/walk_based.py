@@ -197,6 +197,15 @@ class WalkBasedEmbedder(AbstractEmbeddingModel):
         raise NotImplementedError
 
     # ----------------------------------------------------------- training loop
+    def _ell_cap_for_walks(self):
+        """ELLPACK cap to build at `graph.device()` time: second-order (p/q)
+        walks route through the row-gather sampler
+        (`ops/walks.py::_second_order_step_ell`), which needs the capped
+        adjacency table; first-order walks don't."""
+        if self._return_weight == 1.0 and self._explore_weight == 1.0:
+            return None
+        return self._max_neighbours or 100
+
     def _run_batch(self) -> int:
         """Walker batch in effect for the current run (set by
         `_fit_transform`; constructor value or 128 when stepping outside a
@@ -448,7 +457,10 @@ class WalkBasedEmbedder(AbstractEmbeddingModel):
     def _fit_transform(self, graph: Graph) -> EmbeddingResult:
         from ...parallel.mesh import resolve_mesh
 
-        dg = graph.device(with_alias=graph.has_edge_weights)
+        dg = graph.device(
+            with_alias=graph.has_edge_weights,
+            ell_cap=self._ell_cap_for_walks(),
+        )
         key = jax.random.PRNGKey(self.random_state or 0)
         mesh = resolve_mesh(self._mesh)
         strategy = self._choose_distribution(mesh, graph)

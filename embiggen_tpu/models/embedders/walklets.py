@@ -213,7 +213,10 @@ class WalkletsGloVe(_WalkletsBase):
     def _fit_transform(self, graph: Graph) -> EmbeddingResult:
         from jax import lax
 
-        dg = graph.device(with_alias=graph.has_edge_weights)
+        dg = graph.device(
+            with_alias=graph.has_edge_weights,
+            ell_cap=self._ell_cap_for_walks(),
+        )
         key = jax.random.PRNGKey(self.random_state or 0)
         n = graph.number_of_nodes
         starts = jnp.tile(jnp.arange(n, dtype=jnp.int32), self._iterations)

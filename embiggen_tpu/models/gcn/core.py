@@ -137,7 +137,10 @@ class GCNEncoder:
                     )
                 )
             else:
-                out.append(pad_coo(rows, cols, vals, graph.number_of_nodes))
+                out.append(pad_coo(
+                    rows, cols, vals, graph.number_of_nodes,
+                    with_transpose=True,
+                ))
         return out
 
     def _conv(self, pk, h: jnp.ndarray) -> jnp.ndarray:

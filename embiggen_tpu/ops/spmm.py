@@ -125,63 +125,100 @@ def coo_to_device(
 
 
 # --------------------------------------------------------------------------
-# Bucketed-ELLPACK SpMM — the production GCN fast path.
+# Single-K ELLPACK SpMM — the production GCN fast path.
 #
 # TPU has no efficient scatter (segment_sum lowers to a serialized scatter
-# pipeline), but XLA's *flat-index row gather* sustains good HBM bandwidth.
-# So the kernel is re-laid-out host-side into degree buckets:
+# pipeline), but XLA's *flat-index row gather* runs at the chip's gather-
+# descriptor rate. Measured on TPU v5e (D=128 f32): the fused
+# gather→weight→K-reduce runs at 113 M gathered rows/s for 100k-row ops,
+# 145 M at 200k, 170 M at 400k and ~190 M at 1M+ rows — op SIZE, not
+# contraction width, sets the rate (K ∈ [4, 64] is flat). The round-2
+# bucketed layout split the kernel into ~9 per-degree buckets of 2k-340k
+# rows each plus an inverse-permutation gather, paying the small-op rate
+# several times over (~90 M rows/s end to end). Hence this layout:
 #
-#   * rows are stably ordered by bucket (K covers the row's length, capped;
-#     ladder = multiples of 4 up to 32, powers of two beyond — bounds
-#     padding waste at ~12% near typical mean degrees); per bucket,
-#     neighbour ids/weights are padded into a [rows_in_bucket, K] table;
-#   * the SpMM gathers each bucket's feature rows with FLAT indices (3x
-#     faster than 2-D indexed gather, measured), contracts the K axis on
-#     the VPU, and writes contiguous [rows_in_bucket, D] blocks;
-#   * bucket outputs concatenate in permuted row order; the map back to the
-#     original order is an inverse-permutation — i.e. ONE more row gather,
-#     never a scatter;
-#   * rows longer than the cap send their tail through the segment-sum
-#     overflow path (empty for the degree-capped graphs the reference
-#     targets);
-#   * mean/sqrtn denominators are per-row constants of the kernel, so they
-#     are precomputed host-side and stored.
+#   * ONE [n_out, K] padded neighbour table in natural row order — a single
+#     maximal gather-contract op, no permutation, contiguous writes;
+#   * K chosen from the degree histogram by minimizing the measured cost
+#     model  n_out*K / gather_rate + overflow(K) / scatter_rate  — padding
+#     rides the fast gather, long-row tails ride the 2.2x-slower sorted
+#     segment-sum, and the optimum tracks both for uniform AND heavy-tailed
+#     degree distributions;
+#   * rows longer than K send their tail through the segment-sum overflow
+#     path;
+#   * mean/sqrtn denominators are per-row constants of the kernel,
+#     precomputed host-side.
 #
-# Power-of-two buckets bound padding waste at 2x (typically ~1.3x) versus
-# max_degree/mean_degree for single-K ELLPACK.
+# The padded slots gather row 0 with weight 0 (repeated-row gathers hit the
+# HBM row buffer; measured cost is the descriptor, same as any gather).
 # --------------------------------------------------------------------------
+
+# Measured v5e rates the K-optimizer trades off (relative magnitudes are
+# what matter; both are descriptor-bound, not bandwidth-bound).
+_GATHER_ROWS_PER_S = 190e6
+_SCATTER_ROWS_PER_S = 85e6
 
 
 @dataclasses.dataclass(frozen=True)
 class PaddedKernel:
-    """Degree-bucketed ELLPACK layout of a sparse kernel (see above)."""
+    """Single-K ELLPACK layout of a sparse kernel (see above)."""
 
-    bucket_cols: Tuple["jax.Array", ...]   # each [Rb, Kb] int32
-    bucket_vals: Tuple["jax.Array", ...]   # each [Rb, Kb] f32
-    inv_perm: Optional["jax.Array"]        # [n_out] int32, None if identity
+    cols_pad: "jax.Array"                  # [n_out, K] int32 (0 padded)
+    vals_pad: "jax.Array"                  # [n_out, K] f32 (0 padded)
     ov_rows: "jax.Array"                   # [E_ov] int32 (sorted)
     ov_cols: "jax.Array"                   # [E_ov] int32
     ov_vals: "jax.Array"                   # [E_ov] f32
     abs_weight_sum: "jax.Array"            # [n_out] f32 (mean combiner)
     sq_weight_sum: "jax.Array"             # [n_out] f32 (sqrtn combiner)
     n_out: int
+    # Transposed-kernel twin (built by `pad_coo(with_transpose=True)`):
+    # powers the gather-only custom VJP — backprop through an SpMM is the
+    # transposed SpMM, NOT the unsorted scatter-add autodiff would emit.
+    pk_t: Optional["PaddedKernel"] = None
+
+    @property
+    def padded_elements(self) -> int:
+        """Total gathered rows per SpMM pass (the perf accounting unit)."""
+        return int(np.prod(self.cols_pad.shape)) + int(self.ov_rows.shape[0])
 
     def tree_flatten(self):
         children = (
-            self.bucket_cols, self.bucket_vals, self.inv_perm,
+            self.cols_pad, self.vals_pad,
             self.ov_rows, self.ov_cols, self.ov_vals,
-            self.abs_weight_sum, self.sq_weight_sum,
+            self.abs_weight_sum, self.sq_weight_sum, self.pk_t,
         )
         return children, (self.n_out,)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        return cls(*children, *aux)
+        return cls(*children[:7], aux[0], children[7])
 
 
 jax.tree_util.register_pytree_node(
     PaddedKernel, PaddedKernel.tree_flatten, PaddedKernel.tree_unflatten
 )
+
+
+def _choose_k(counts: np.ndarray, cap: int, min_k: int) -> int:
+    """Pick the ELLPACK width minimizing the measured gather+overflow cost."""
+    n_out = counts.shape[0]
+    max_deg = int(counts.max(initial=0))
+    hi = min(max(cap, min_k), max(max_deg, min_k))
+    hi = ((hi + 3) // 4) * 4
+    best_k, best_cost = min_k, float("inf")
+    # overflow(K) via the degree histogram tail: sum over rows of (deg - K)+
+    hist = np.bincount(np.minimum(counts, hi + 1))
+    degs = np.arange(hist.shape[0])
+    # degrees clipped into the hist's last bin carry extra excess beyond
+    # what the histogram records, identical for every K <= hi
+    clipped_excess = float(np.maximum(counts - (hi + 1), 0).sum())
+    for k in range(min_k, hi + 1, 4):
+        tail = hist[k + 1:]
+        overflow = float((tail * (degs[k + 1:] - k)).sum()) + clipped_excess
+        cost = (n_out * k) / _GATHER_ROWS_PER_S + overflow / _SCATTER_ROWS_PER_S
+        if cost < best_cost:
+            best_k, best_cost = k, cost
+    return best_k
 
 
 def pad_coo(
@@ -191,11 +228,23 @@ def pad_coo(
     n_out: int,
     cap: int = 512,
     min_k: int = 4,
+    n_in: Optional[int] = None,
+    with_transpose: bool = False,
 ) -> PaddedKernel:
-    """Host-side relayout of a COO kernel into a bucketed PaddedKernel.
+    """Host-side relayout of a COO kernel into a single-K PaddedKernel.
 
-    `cap` bounds the widest bucket; per-row edges beyond `cap` overflow to
-    the COO segment-sum path. `min_k` is the narrowest bucket width."""
+    `cap` bounds the ELLPACK width; per-row edges beyond the chosen K
+    overflow to the COO segment-sum path. `min_k` is the narrowest width.
+    `with_transpose` additionally builds the transposed kernel (`pk_t`,
+    [n_in, K_t] over n_in = `n_in` or `n_out`), enabling the gather-only
+    custom VJP used by GCN training."""
+    if with_transpose:
+        base = pad_coo(rows, cols, vals, n_out, cap=cap, min_k=min_k)
+        pk_t = pad_coo(
+            cols, rows, vals, n_in if n_in is not None else n_out,
+            cap=cap, min_k=min_k,
+        )
+        return dataclasses.replace(base, pk_t=pk_t)
     rows = np.asarray(rows, np.int64)
     cols = np.asarray(cols, np.int64)
     vals = np.asarray(vals, np.float32)
@@ -207,21 +256,7 @@ def pad_coo(
     np.add.at(absw, rows, np.abs(vals))
     np.add.at(sqw, rows, vals * vals)
 
-    # Bucket width ladder: multiples of 4 up to 32 (bounds padding waste to
-    # ~12% around the typical mean degree), power-of-two steps beyond
-    # (bounds the bucket count for heavy-tailed degree distributions).
-    clipped = np.minimum(np.maximum(counts, 1), cap)
-    k_small = np.ceil(clipped / 4).astype(np.int64) * 4
-    k_large = 1 << np.ceil(np.log2(np.maximum(clipped, 1))).astype(np.int64)
-    k_per_row = np.maximum(min_k, np.where(clipped <= 32, k_small, k_large))
-    k_per_row = np.minimum(k_per_row, max(cap, min_k))
-    ks = np.unique(k_per_row)
-
-    # Row permutation: stable order by bucket.
-    perm = np.argsort(k_per_row, kind="stable")     # original row -> position
-    identity = bool((perm == np.arange(n_out)).all())
-    inv = np.empty(n_out, np.int64)
-    inv[perm] = np.arange(n_out)                    # position of each row
+    k = _choose_k(counts, cap, min_k)
 
     # Per-edge position within its row (rows arrive sorted from CSR/COO;
     # make it robust to arbitrary order with a stable sort).
@@ -233,34 +268,16 @@ def pad_coo(
     c_sorted = cols[order]
     v_sorted = vals[order]
 
-    in_pad = pos < np.minimum(k_per_row[r_sorted], cap)
-    bucket_cols, bucket_vals = [], []
-    row_bucket_of = k_per_row[r_sorted]
-    # position of each row inside its bucket = inv[row] - bucket_offset
-    offsets = {}
-    off = 0
-    for k in ks:
-        nb = int((k_per_row == k).sum())
-        offsets[int(k)] = off
-        off += nb
-    for k in ks:
-        k = int(k)
-        nb = int((k_per_row == k).sum())
-        cp = np.zeros((nb, k), np.int32)
-        vp = np.zeros((nb, k), np.float32)
-        sel = in_pad & (row_bucket_of == k)
-        rr = inv[r_sorted[sel]] - offsets[k]
-        pp = pos[sel]
-        cp[rr, pp] = c_sorted[sel]
-        vp[rr, pp] = v_sorted[sel]
-        bucket_cols.append(jnp.asarray(cp))
-        bucket_vals.append(jnp.asarray(vp))
+    in_pad = pos < k
+    cp = np.zeros((n_out, k), np.int32)
+    vp = np.zeros((n_out, k), np.float32)
+    cp[r_sorted[in_pad], pos[in_pad]] = c_sorted[in_pad]
+    vp[r_sorted[in_pad], pos[in_pad]] = v_sorted[in_pad]
 
     ov = ~in_pad
     return PaddedKernel(
-        bucket_cols=tuple(bucket_cols),
-        bucket_vals=tuple(bucket_vals),
-        inv_perm=None if identity else jnp.asarray(inv, jnp.int32),
+        cols_pad=jnp.asarray(cp),
+        vals_pad=jnp.asarray(vp),
         ov_rows=jnp.asarray(r_sorted[ov], jnp.int32),
         ov_cols=jnp.asarray(c_sorted[ov], jnp.int32),
         ov_vals=jnp.asarray(v_sorted[ov], jnp.float32),
@@ -270,49 +287,28 @@ def pad_coo(
     )
 
 
-# Bound on the [C, K, D] gather intermediate per chunk (elements; f32 →
-# ~2 GB). Measured on TPU v5e: the one-shot gather-contract sustains
-# ~145 M gathered rows/s (descriptor-bound) as long as the intermediate
-# fits HBM comfortably; a fori_loop + dynamic_update_slice chunking at
-# 2^26 elements ran at HALF that rate, and letting the intermediate
-# exceed HBM causes host spills 1000x slower. Hence: few, large, STATIC
-# (unrolled) chunks.
-_PAD_CHUNK_ELEMENTS = 1 << 29
+def _ell_spmm(cols_pad, vals_pad, xf):
+    """Gather-contract: out[r] = sum_k vals[r,k] * x[cols[r,k]].
 
-
-def _bucket_spmm(cols_pad, vals_pad, xf, d):
-    """Gather-contract one bucket: out[r] = sum_k vals[r,k] * x[cols[r,k]].
-    Chunks are unrolled with static slices — no dynamic_update_slice, no
-    loop-carried output buffer."""
+    Contracted as K accumulated full-height 2-D gathers — each gather is an
+    [n_out]-row op (the maximal op size, where the v5e gather engine peaks at
+    ~190 M rows/s) and the weighted add fuses elementwise behind it. The
+    [n_out, K, D] 3-D formulation is NOT used: reshaping the gather to
+    [n_out, K, D] repacks sublanes whenever K % 8 != 0, which blocks XLA's
+    gather→reduce fusion and materializes the 3-D intermediate in HBM
+    (~10 GB at bench scale, OOM)."""
     nb, k = cols_pad.shape
-    chunk = max(64, _PAD_CHUNK_ELEMENTS // max(k * d, 1))
-    if nb <= chunk:
-        g = xf[cols_pad.reshape(-1)].reshape(nb, k, d)
-        return jnp.sum(vals_pad[:, :, None] * g, axis=1)
-    parts = []
-    for c0 in range(0, nb, chunk):
-        c1 = min(c0 + chunk, nb)
-        cc = cols_pad[c0:c1]
-        vv = vals_pad[c0:c1]
-        g = xf[cc.reshape(-1)].reshape(c1 - c0, k, d)
-        parts.append(jnp.sum(vv[:, :, None] * g, axis=1))
-    return jnp.concatenate(parts, axis=0)
+    out = vals_pad[:, 0:1] * xf[cols_pad[:, 0]]
+    for j in range(1, k):
+        out = out + vals_pad[:, j:j + 1] * xf[cols_pad[:, j]]
+    return out
 
 
-@functools.partial(jax.jit, static_argnames=("combiner",))
-def spmm_padded(
-    pk: PaddedKernel, x: jnp.ndarray, combiner: str = "sum"
+def _spmm_padded_impl(
+    pk: PaddedKernel, x: jnp.ndarray, combiner: str
 ) -> jnp.ndarray:
-    """Scatter-free SpMM over a bucketed PaddedKernel → [n_out, D]."""
     xf = x.astype(jnp.float32)
-    d = x.shape[1]
-    parts = [
-        _bucket_spmm(c, v, xf, d)
-        for c, v in zip(pk.bucket_cols, pk.bucket_vals)
-    ]
-    out = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
-    if pk.inv_perm is not None:
-        out = out[pk.inv_perm]              # inverse permutation = gather
+    out = _ell_spmm(pk.cols_pad, pk.vals_pad, xf)
     if pk.ov_rows.shape[0]:
         out = out + jax.ops.segment_sum(
             xf[pk.ov_cols] * pk.ov_vals[:, None],
@@ -327,3 +323,54 @@ def spmm_padded(
     else:
         raise ValueError(f"Unknown combiner {combiner!r}")
     return (out / den[:, None]).astype(x.dtype)
+
+
+def _zero_cotangent(tree):
+    """Zero cotangents for a kernel pytree: float0 for integer leaves."""
+    return jax.tree_util.tree_map(
+        lambda a: np.zeros(a.shape, jax.dtypes.float0)
+        if jnp.issubdtype(a.dtype, jnp.integer)
+        else jnp.zeros_like(a),
+        tree,
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _spmm_padded_diff(pk: PaddedKernel, x: jnp.ndarray, combiner: str):
+    return _spmm_padded_impl(pk, x, combiner)
+
+
+def _spmm_padded_fwd(pk, x, combiner):
+    return _spmm_padded_impl(pk, x, combiner), pk
+
+
+def _spmm_padded_bwd(combiner, pk, g):
+    """d/dx of y = D^-1 A x is A^T D^-1 g — ONE transposed gather-SpMM.
+    Autodiff of the gather formulation would instead emit an unsorted
+    scatter-add over every edge (~10x slower on TPU); the host-precomputed
+    `pk_t` keeps the backward on the gather engine too. Kernel weights are
+    structural constants: zero cotangents."""
+    gf = g.astype(jnp.float32)
+    if combiner == "mean":
+        gf = gf / jnp.maximum(pk.abs_weight_sum, 1e-9)[:, None]
+    elif combiner == "sqrtn":
+        gf = gf / jnp.maximum(jnp.sqrt(pk.sq_weight_sum), 1e-9)[:, None]
+    dx = _spmm_padded_impl(pk.pk_t, gf, "sum").astype(g.dtype)
+    return (_zero_cotangent(pk), dx)
+
+
+_spmm_padded_diff.defvjp(_spmm_padded_fwd, _spmm_padded_bwd)
+
+
+@functools.partial(jax.jit, static_argnames=("combiner",))
+def spmm_padded(
+    pk: PaddedKernel, x: jnp.ndarray, combiner: str = "sum"
+) -> jnp.ndarray:
+    """Scatter-free SpMM over a single-K PaddedKernel → [n_out, D].
+
+    When `pk` carries its transpose (`pad_coo(with_transpose=True)`), the
+    op is differentiable with a gather-only backward; otherwise autodiff
+    falls through to XLA's scatter-add."""
+    if pk.pk_t is not None:
+        return _spmm_padded_diff(pk, x, combiner)
+    return _spmm_padded_impl(pk, x, combiner)

@@ -228,6 +228,30 @@ def test_spmm_padded_matches_tf_embedding_lookup_sparse(karate, combiner):
         np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.parametrize("combiner", ["sum", "mean", "sqrtn"])
+def test_spmm_padded_transpose_vjp_matches_autodiff(karate, combiner):
+    """The gather-only custom VJP (transposed-kernel backward) must produce
+    the same input gradients as plain autodiff through the scatter path."""
+    from embiggen_tpu.ops.spmm import pad_coo, spmm_padded
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(34, 16)).astype(np.float32))
+    rows, cols, vals = kernel_coo(karate, "Symmetric Normalized Laplacian")
+    pk_plain = pad_coo(rows, cols, vals, 34, cap=8)  # overflow + no pk_t
+    pk_vjp = pad_coo(rows, cols, vals, 34, cap=8, with_transpose=True)
+    assert pk_vjp.pk_t is not None and pk_vjp.pk_t.pk_t is None
+
+    def loss(pk, x):
+        y = spmm_padded(pk, x, combiner)
+        return jnp.sum(jnp.sin(y) * y)
+
+    g_auto = jax.grad(loss, argnums=1)(pk_plain, x)
+    g_vjp = jax.grad(loss, argnums=1)(pk_vjp, x)
+    np.testing.assert_allclose(
+        np.asarray(g_vjp), np.asarray(g_auto), rtol=1e-4, atol=1e-5
+    )
+
+
 def test_spmm_padded_unsorted_coo_and_empty_rows():
     """pad_coo must be robust to arbitrary COO order and rows with no edges."""
     from embiggen_tpu.ops.spmm import pad_coo, spmm_padded

@@ -251,6 +251,112 @@ def test_rejection_sampler_matches_exact_cdf(kdev, kgraph, rw, ew):
     assert tv < 0.03, tv
 
 
+@pytest.mark.parametrize(
+    "rw,ew", [(2.0, 0.5), (0.25, 4.0), (1.0, 0.25)]
+)
+def test_ell_sampler_matches_exact_cdf(kgraph, rw, ew):
+    """The production ELLPACK row-gather p/q sampler draws from the same
+    per-step distribution as the exact-CDF sampler (it IS an exact capped
+    CDF — only the memory layout differs)."""
+    from embiggen_tpu.ops.walks import (
+        _second_order_step_ell,
+        _second_order_step_exact,
+    )
+
+    cap = 34  # >= karate club max degree: capped set == full set
+    dev = kgraph.device(ell_cap=cap)
+    assert dev.ell_cols is not None
+    curr_node = int(np.argmax(kgraph.degrees))
+    prev_node = int(kgraph.neighbors(curr_node)[0])
+    n = 30_000
+    prev = jnp.full((n,), prev_node, jnp.int32)
+    curr = jnp.full((n,), curr_node, jnp.int32)
+    prev_row = jnp.broadcast_to(
+        dev.ell_cols[prev_node], (n, dev.ell_cap)
+    )
+    exact = np.asarray(
+        jax.jit(_second_order_step_exact, static_argnums=(4, 5, 6))(
+            dev, jax.random.PRNGKey(0), prev, curr, rw, ew, cap
+        )
+    )
+    ell, next_row = jax.jit(
+        _second_order_step_ell, static_argnums=(5, 6, 7)
+    )(dev, jax.random.PRNGKey(1), prev, prev_row, curr, rw, ew, cap)
+    ell = np.asarray(ell)
+    # returned carry row is the gathered row of `curr`
+    np.testing.assert_array_equal(
+        np.asarray(next_row[0]), np.asarray(dev.ell_cols[curr_node])
+    )
+    p_exact = np.bincount(exact, minlength=kgraph.number_of_nodes) / n
+    p_ell = np.bincount(ell, minlength=kgraph.number_of_nodes) / n
+    assert set(np.nonzero(p_ell)[0]) <= set(
+        kgraph.neighbors(curr_node).tolist()
+    )
+    tv = 0.5 * np.abs(p_exact - p_ell).sum()
+    assert tv < 0.03, tv
+
+
+def test_ell_walks_follow_edges_and_match_rejection(kgraph):
+    """End-to-end p/q walks through the ELL path are valid walks, and the
+    full-walk visit distribution matches the rejection path."""
+    dev_ell = kgraph.device(ell_cap=40)
+    dev_plain = kgraph.device()
+    key = jax.random.PRNGKey(7)
+    starts = jnp.tile(jnp.arange(34, dtype=jnp.int32), 100)
+    w_ell = random_walks(
+        dev_ell, starts, 12, key, return_weight=2.0, explore_weight=0.5,
+        max_neighbours=34,
+    )
+    assert w_ell.shape == (3400, 12)
+    _walks_follow_edges(kgraph, w_ell[:200])
+    w_rej = random_walks(
+        dev_plain, starts, 12, key, return_weight=2.0, explore_weight=0.5,
+        max_neighbours=34,
+    )
+    v_ell = np.bincount(np.asarray(w_ell).ravel(), minlength=34) / w_ell.size
+    v_rej = np.bincount(np.asarray(w_rej).ravel(), minlength=34) / w_rej.size
+    tv = 0.5 * np.abs(v_ell - v_rej).sum()
+    assert tv < 0.05, tv
+
+
+def test_ell_sampler_weighted(kgraph):
+    """Weighted graphs: ELL target ∝ edge_weight × pq factor (vs exact)."""
+    import dataclasses
+
+    from embiggen_tpu.ops.walks import (
+        _second_order_step_ell,
+        _second_order_step_exact,
+    )
+
+    rng = np.random.default_rng(0)
+    g = dataclasses.replace(
+        kgraph,
+        weights=(0.25 + rng.random(kgraph.number_of_directed_edges)).astype(
+            np.float32
+        ),
+    )
+    dev = g.device(with_alias=True, ell_cap=34)
+    assert dev.ell_w is not None
+    curr_node = int(np.argmax(g.degrees))
+    prev_node = int(g.neighbors(curr_node)[0])
+    n = 40_000
+    prev = jnp.full((n,), prev_node, jnp.int32)
+    curr = jnp.full((n,), curr_node, jnp.int32)
+    prev_row = jnp.broadcast_to(dev.ell_cols[prev_node], (n, dev.ell_cap))
+    exact = np.asarray(
+        jax.jit(_second_order_step_exact, static_argnums=(4, 5, 6))(
+            dev, jax.random.PRNGKey(0), prev, curr, 2.0, 0.5, 34
+        )
+    )
+    ell, _ = jax.jit(_second_order_step_ell, static_argnums=(5, 6, 7))(
+        dev, jax.random.PRNGKey(1), prev, prev_row, curr, 2.0, 0.5, 34
+    )
+    p_exact = np.bincount(exact, minlength=g.number_of_nodes) / n
+    p_ell = np.bincount(np.asarray(ell), minlength=g.number_of_nodes) / n
+    tv = 0.5 * np.abs(p_exact - p_ell).sum()
+    assert tv < 0.03, tv
+
+
 def test_rejection_sampler_weighted(kgraph):
     """Weighted graphs: rejection target ∝ edge_weight × pq factor."""
     import dataclasses
