@@ -307,3 +307,41 @@ def test_connected_components_scale():
         block = comp[b * 30_000 : (b + 1) * 30_000]
         top = np.bincount(block).max()
         assert top > 29_900
+
+
+def test_get_dataset_registry():
+    """Named-corpus resolution mirrors `ensmallen.datasets.get_dataset`
+    (reference `utils/pipeline.py:97-102`): bundled graphs load, registered
+    corpora resolve to local files or explicit synthetic stand-ins, and
+    failure modes are informative (no silent substitution)."""
+    import pytest
+
+    from embiggen_tpu.graph.loaders import get_dataset
+
+    assert get_dataset("KarateClub").number_of_nodes == 34
+    g = get_dataset("Cora", synthetic_fallback=True)
+    assert g.name == "CoraSyntheticStandIn"
+    assert g.number_of_nodes == 2708 and g.has_node_types
+    w = get_dataset("Usair97", synthetic_fallback=True)
+    assert w.name == "Usair97SyntheticStandIn" and w.weights is not None
+    with pytest.raises(FileNotFoundError, match="cannot be downloaded"):
+        get_dataset("Cora")
+    with pytest.raises(KeyError, match="repository"):
+        get_dataset("Cora", repository="kgobo")
+    with pytest.raises(KeyError, match="Unknown dataset"):
+        get_dataset("definitely-not-a-graph")
+
+
+def test_get_dataset_local_file(tmp_path, monkeypatch):
+    """A local $EMBIGGEN_DATA_DIR/<Name>.tsv takes precedence for a
+    registered corpus."""
+    import numpy as np
+
+    from embiggen_tpu.graph.loaders import get_dataset
+
+    p = tmp_path / "CIO.tsv"
+    p.write_text("subject\tobject\na\tb\nb\tc\nc\ta\n")
+    monkeypatch.setenv("EMBIGGEN_DATA_DIR", str(tmp_path))
+    g = get_dataset("CIO")
+    assert g.name == "CIO"
+    assert g.number_of_nodes == 3
