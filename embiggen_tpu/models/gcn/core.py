@@ -119,11 +119,24 @@ class GCNEncoder:
         self._halo_axis = axis
 
     def build_kernels(self, graph: Graph):
-        """One bucketed-ELLPACK `PaddedKernel` per kernel name — the
+        """One single-K ELLPACK `PaddedKernel` per kernel name — the
         scatter-free gather-contract layout `spmm_padded` consumes (built
         once here; the reference builds its tf.SparseTensor equivalents once
         per fit, `abstract_gcn.py:1202-1221`). In halo mode: one
-        `HaloPartition` per kernel instead."""
+        `HaloPartition` per kernel instead.
+
+        A single-entry cache keyed on the support graph's identity skips
+        the host relayout when the same model refits on the same support
+        (e.g. bench warm fits, repeated fit calls): graphs are immutable,
+        and the cache holds a strong reference so the id cannot be
+        recycled."""
+        cache_key = (
+            id(graph), tuple(self.kernel_names),
+            id(self._halo_mesh), self._halo_axis,
+        )
+        cached = getattr(self, "_kernel_cache", None)
+        if cached is not None and cached[0] == cache_key:
+            return cached[2]
         out = []
         for name in self.kernel_names:
             rows, cols, vals = kernel_coo(graph, name)
@@ -141,6 +154,7 @@ class GCNEncoder:
                     rows, cols, vals, graph.number_of_nodes,
                     with_transpose=True,
                 ))
+        self._kernel_cache = (cache_key, graph, out)
         return out
 
     def _conv(self, pk, h: jnp.ndarray) -> jnp.ndarray:
@@ -295,8 +309,13 @@ class StaticFeatureSpec:
             d += embed_params["node_type_embedding"].shape[1]
         return d
 
-    def materialize(self, embed_params: Params) -> jnp.ndarray:
-        parts = [self.static]
+    def materialize(self, embed_params: Params, static=None) -> jnp.ndarray:
+        """`static` overrides the captured feature matrix — training steps
+        pass it through the jit ARGUMENT path (TrainLoop `data`); closing
+        over a graph-sized array would bake it into the lowered program as
+        an inline constant (gigabytes of HLO at 1M nodes, which kills the
+        compiler)."""
+        parts = [static if static is not None else self.static]
         if self.use_node_embedding:
             parts.append(embed_params["node_embedding"])
         if self.use_node_type_embedding:
@@ -340,9 +359,16 @@ class TrainLoop:
 
         return os.path.join(self.checkpoint_dir, "train_state")
 
-    def run(self, params, loss_step, key, fingerprint: str = ""):
-        """loss_step(params, key) -> (loss, grads). One epoch =
-        `steps_per_epoch` optimizer steps scanned inside a single jit.
+    def run(self, params, loss_step, key, fingerprint: str = "", data=None):
+        """loss_step(params, key) -> (loss, grads) — or, when `data` is
+        given, loss_step(params, key, data). One epoch = `steps_per_epoch`
+        optimizer steps scanned inside a single jit.
+
+        `data` is the device-context pytree (kernels, feature matrices,
+        device graph, label/mask arrays): anything graph-sized MUST ride
+        this argument rather than a closure — closed-over jax arrays lower
+        to inline HLO constants, and at 1M nodes that is a multi-GB program
+        that crashes the compiler.
 
         If `checkpoint_dir` is set, the FULL host loop state (params,
         optimizer state, PRNG key, callback counters, loss history) is saved
@@ -359,10 +385,14 @@ class TrainLoop:
         n_steps = self.steps_per_epoch
 
         @jax.jit
-        def step(params, opt_state, epoch_key, lr_scale):
+        def step(params, opt_state, epoch_key, lr_scale, data):
             def body(carry, k):
                 params, opt_state = carry
-                loss, grads = loss_step(params, k)
+                loss, grads = (
+                    loss_step(params, k)
+                    if data is None
+                    else loss_step(params, k, data)
+                )
                 grads = jax.tree_util.tree_map(lambda g: g * lr_scale, grads)
                 updates, opt_state = optimizer.update(grads, opt_state, params)
                 params = optax.apply_updates(params, updates)
@@ -434,7 +464,7 @@ class TrainLoop:
         for epoch in range(start_epoch, self.epochs):
             key, sub = jax.random.split(key)
             params, opt_state, loss = step(
-                params, opt_state, sub, jnp.float32(lr_scale)
+                params, opt_state, sub, jnp.float32(lr_scale), data
             )
             loss = float(loss)
             history.append(loss)

@@ -297,23 +297,47 @@ class _EdgeGCNBase(AbstractClassifierModel):
             )
         return params, kernels
 
-    def _lookup_edge_ids(self, src, dst):
+    def _lookup_edge_ids(self, src, dst, ctx=None):
         """Device arc lookup: (edge_id, is_edge) per (src, dst) pair via
         CSR row binary search (`ops.walks.csr_edge_ids`). Non-edges map to
         the sentinel id `n_arcs` (the zeros row of static edge-feature
         tables)."""
         from ...ops.walks import csr_edge_ids
 
+        row_ptr = self._lookup_row_ptr
+        col_idx = self._lookup_col_idx
+        if ctx is not None and ctx.get("lookup_row_ptr") is not None:
+            row_ptr = ctx["lookup_row_ptr"]
+            col_idx = ctx["lookup_col_idx"]
         return csr_edge_ids(
-            self._lookup_row_ptr, self._lookup_col_idx, src, dst,
-            n_iters=self._lookup_iters,
+            row_ptr, col_idx, src, dst, n_iters=self._lookup_iters,
         )
+
+    def _train_ctx(self, kernels, dg):
+        """Device-context pytree for the jitted training step. Every
+        graph-sized array the loss needs rides this ARGUMENT into
+        `TrainLoop.run(data=...)` — if the loss closed over them instead,
+        they would lower as inline HLO constants (≈2 GB of program text at
+        1M nodes/20M arcs) and crash the compiler."""
+        return {
+            "kernels": kernels,
+            "dg": dg,
+            "x_static": self._spec.static,
+            "lookup_row_ptr": self._lookup_row_ptr
+            if self._needs_edge_lookup else None,
+            "lookup_col_idx": self._lookup_col_idx
+            if self._needs_edge_lookup else None,
+            "edge_types_by_arc": self._edge_types_by_arc,
+            "static_edge_feats": list(self._static_edge_feats),
+            "edge_type_feat_tables": list(self._edge_type_feat_tables),
+        }
 
     def _edge_logits(
         self, params, kernels, src, dst, n_nodes, training=False, key=None,
-        edge_types=None,
+        edge_types=None, ctx=None,
     ):
-        x = self._spec.materialize(params["embed"])
+        get = (ctx or {}).get
+        x = self._spec.materialize(params["embed"], static=get("x_static"))
         h = self._encoder.apply(
             params["enc"], kernels, x, n_nodes, training=training, key=key
         )
@@ -324,31 +348,39 @@ class _EdgeGCNBase(AbstractClassifierModel):
         for fn in self._edge_feature_fns:
             e = jnp.concatenate([e, fn(src, dst)], axis=1)
         edge_ids = None
+        types_by_arc = (
+            get("edge_types_by_arc") if ctx is not None
+            else self._edge_types_by_arc
+        )
         if self._needs_edge_lookup:
-            edge_ids, is_edge = self._lookup_edge_ids(src, dst)
-            if edge_types is None and self._edge_types_by_arc is not None:
+            edge_ids, is_edge = self._lookup_edge_ids(src, dst, ctx=ctx)
+            if edge_types is None and types_by_arc is not None:
                 # Known arcs contribute their real type; non-edges (e.g.
                 # sampled negatives) fall to the unknown row (-1 → index 0).
-                safe = jnp.minimum(
-                    edge_ids, self._edge_types_by_arc.shape[0] - 1
-                )
-                edge_types = jnp.where(
-                    is_edge, self._edge_types_by_arc[safe], -1
-                )
-        for table in self._static_edge_feats:
+                safe = jnp.minimum(edge_ids, types_by_arc.shape[0] - 1)
+                edge_types = jnp.where(is_edge, types_by_arc[safe], -1)
+        static_feats = (
+            get("static_edge_feats") if ctx is not None
+            else self._static_edge_feats
+        )
+        for table in static_feats:
             rows = (
                 table[edge_ids]
                 if edge_ids is not None
                 else jnp.zeros((src.shape[0], table.shape[1]), table.dtype)
             )
             e = jnp.concatenate([e, rows], axis=1)
-        if self._edge_type_feat_tables or self._use_edge_type_embedding:
+        type_tables = (
+            get("edge_type_feat_tables") if ctx is not None
+            else self._edge_type_feat_tables
+        )
+        if type_tables or self._use_edge_type_embedding:
             et = (
                 edge_types
                 if edge_types is not None
                 else jnp.full(src.shape, -1, jnp.int32)
             )
-            for table in self._edge_type_feat_tables:
+            for table in type_tables:
                 e = jnp.concatenate([e, table[et + 1]], axis=1)
             if self._use_edge_type_embedding:
                 e = jnp.concatenate(
@@ -394,15 +426,16 @@ class GCNEdgePrediction(_EdgeGCNBase, AbstractEdgePredictionModel):
         scale_free = self._use_scale_free_distribution
         model = self
 
-        def loss_fn(params, k):
+        def loss_fn(params, k, data):
             k_batch, k_drop = jax.random.split(k)
             src, dst, labels = edge_prediction_mini_batch(
-                dg, k_batch, batch_size,
+                data["dg"], k_batch, batch_size,
                 negative_samples_rate=rate,
                 use_scale_free_distribution=scale_free,
             )
             logits = model._edge_logits(
-                params, kernels, src, dst, n_nodes, training=True, key=k_drop
+                params, data["kernels"], src, dst, n_nodes,
+                training=True, key=k_drop, ctx=data,
             )[:, 0]
             return (jax.nn.softplus(logits) - labels * logits).mean()
 
@@ -418,6 +451,7 @@ class GCNEdgePrediction(_EdgeGCNBase, AbstractEdgePredictionModel):
         self._params, self._history = loop.run(
             params, jax.value_and_grad(loss_fn), key,
             fingerprint=graph_fingerprint(graph),
+            data=self._train_ctx(kernels, dg),
         )
         self._n_nodes = n_nodes
 
@@ -495,12 +529,15 @@ class GCNEdgeLabelPrediction(_EdgeGCNBase, AbstractEdgeLabelPredictionModel):
         batch_size = min(self._batch_size, n_known)
         model = self
 
-        def loss_fn(params, k):
+        def loss_fn(params, k, data):
             k_batch, k_drop = jax.random.split(k)
             pick = jax.random.randint(k_batch, (batch_size,), 0, n_known)
-            src, dst, y = src_all[pick], dst_all[pick], y_all[pick]
+            src = data["src_all"][pick]
+            dst = data["dst_all"][pick]
+            y = data["y_all"][pick]
             logits = model._edge_logits(
-                params, kernels, src, dst, n_nodes, training=True, key=k_drop
+                params, data["kernels"], src, dst, n_nodes,
+                training=True, key=k_drop, ctx=data,
             )
             logp = jax.nn.log_softmax(logits, axis=1)
             return -jnp.take_along_axis(logp, y[:, None], axis=1).mean()
@@ -512,9 +549,13 @@ class GCNEdgeLabelPrediction(_EdgeGCNBase, AbstractEdgeLabelPredictionModel):
             checkpoint_dir=self._checkpoint_dir,
             checkpoint_interval=self._checkpoint_interval,
         )
+        data = self._train_ctx(kernels, None)
+        data.pop("dg")
+        data.update(src_all=src_all, dst_all=dst_all, y_all=y_all)
         self._params, self._history = loop.run(
             params, jax.value_and_grad(loss_fn), key,
             fingerprint=graph_fingerprint(graph, known_idx, y_all),
+            data=data,
         )
         self._n_nodes = n_nodes
 

@@ -205,22 +205,24 @@ class GCNNodeLabelPrediction(AbstractNodeLabelPredictionModel):
         encoder = self._encoder
         multilabel = self._multilabel
 
-        def loss_fn(params, k):
-            x = spec.materialize(params["embed"])
+        def loss_fn(params, k, data):
+            x = spec.materialize(params["embed"], static=data["x_static"])
             h = encoder.apply(
-                params["enc"], kernels, x, n_nodes, training=True, key=k
+                params["enc"], data["kernels"], x, n_nodes,
+                training=True, key=k,
             )
             logits = apply_mlp(params["head"], h)
+            yd = data["y"]
             if multilabel:
                 per = (
-                    jax.nn.softplus(logits) - y * logits
+                    jax.nn.softplus(logits) - yd * logits
                 ).sum(axis=1)
             else:
                 logp = jax.nn.log_softmax(logits, axis=1)
-                per = -jnp.take_along_axis(logp, y[:, None], axis=1)[:, 0]
-                per = per * class_w[y]
-            per = jnp.where(mask, per, 0.0)
-            return per.sum() / jnp.maximum(mask.sum(), 1)
+                per = -jnp.take_along_axis(logp, yd[:, None], axis=1)[:, 0]
+                per = per * data["class_w"][yd]
+            per = jnp.where(data["mask"], per, 0.0)
+            return per.sum() / jnp.maximum(data["mask"].sum(), 1)
 
         loop = TrainLoop(
             epochs=self._epochs,
@@ -229,9 +231,15 @@ class GCNNodeLabelPrediction(AbstractNodeLabelPredictionModel):
             checkpoint_dir=self._checkpoint_dir,
             checkpoint_interval=self._checkpoint_interval,
         )
+        # Graph-sized arrays ride the jit ARGUMENT path (see TrainLoop.run).
+        data = {
+            "kernels": kernels, "x_static": spec.static,
+            "y": y, "mask": mask, "class_w": class_w,
+        }
         self._params, self._history = loop.run(
             params, jax.value_and_grad(loss_fn), key,
             fingerprint=graph_fingerprint(graph, mask, y),
+            data=data,
         )
 
     def _predict_proba(self, graph: Graph, support: Optional[Graph] = None,

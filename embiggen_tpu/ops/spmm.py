@@ -258,15 +258,19 @@ def pad_coo(
 
     k = _choose_k(counts, cap, min_k)
 
-    # Per-edge position within its row (rows arrive sorted from CSR/COO;
-    # make it robust to arbitrary order with a stable sort).
-    order = np.argsort(rows, kind="stable")
-    r_sorted = rows[order]
+    # Per-edge position within its row. CSR-derived COO arrives sorted —
+    # skip the O(E log E) stable sort then (several seconds at 20M arcs);
+    # arbitrary order still works through the sort path.
+    if rows.shape[0] == 0 or bool((rows[1:] >= rows[:-1]).all()):
+        r_sorted, c_sorted, v_sorted = rows, cols, vals
+    else:
+        order = np.argsort(rows, kind="stable")
+        r_sorted = rows[order]
+        c_sorted = cols[order]
+        v_sorted = vals[order]
     row_start = np.zeros(n_out, np.int64)
     row_start[1:] = np.cumsum(counts)[:-1]
     pos = np.arange(rows.shape[0], dtype=np.int64) - row_start[r_sorted]
-    c_sorted = cols[order]
-    v_sorted = vals[order]
 
     in_pad = pos < k
     cp = np.zeros((n_out, k), np.int32)
