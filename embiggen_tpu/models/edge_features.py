@@ -151,19 +151,29 @@ class HyperSketching(AbstractEmbeddingModel, AbstractEdgeFeature):
             feats = feats / denom
         return {"edge_features": feats.astype(np.float32)}
 
+    def device_feature_tables(self):
+        """The on-device sketch tables, exposed so training steps can pass
+        them through the jit ARGUMENT path (TrainLoop `data`): a closure
+        over [N, hops, 2^precision] registers would lower them as inline
+        HLO constants — hundreds of MB of program at 1M nodes."""
+        if not self.is_fit():
+            raise ValueError("HyperSketching must be fitted first.")
+        return self._sketches
+
     def device_feature_fn(self):
-        """Jit-safe (src, dst) -> [B, F] feature function capturing the
-        on-device sketch tables — consumed by the edge GCNs so per-batch
-        edge features stay inside the jitted training step."""
+        """Jit-safe (src, dst[, tables]) -> [B, F] feature function —
+        consumed by the edge GCNs so per-batch edge features stay inside
+        the jitted training step. Pass `tables` (from
+        `device_feature_tables`) inside jitted code; omitting it falls back
+        to the captured tables (fine for small graphs / eager use)."""
         if not self.is_fit():
             raise ValueError("HyperSketching must be fitted first.")
         sketches = self._sketches
         precision = self._precision
 
-        def fn(src, dst):
-            return edge_sketch_features(
-                sketches[src], sketches[dst], precision
-            )
+        def fn(src, dst, tables=None):
+            sk = sketches if tables is None else tables
+            return edge_sketch_features(sk[src], sk[dst], precision)
 
         return fn
 

@@ -340,8 +340,10 @@ class RandNE(_FactorizationModel):
         )
         alphas = jnp.asarray(self._alphas, jnp.float32)
 
+        # Edge arrays as jit ARGUMENTS, not closures (closure capture lowers
+        # them as inline HLO constants — hundreds of MB at bench scale).
         @jax.jit
-        def smooth(base):
+        def smooth(base, src, dst, inv_deg, alphas):
             def body(carry, alpha):
                 cur, acc = carry
                 gathered = cur[dst]
@@ -356,7 +358,9 @@ class RandNE(_FactorizationModel):
             )
             return acc
 
-        return self._wrap(np.asarray(smooth(base)), graph)
+        return self._wrap(
+            np.asarray(smooth(base, src, dst, inv_deg, alphas)), graph
+        )
 
 
 @register_model

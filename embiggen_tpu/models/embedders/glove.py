@@ -161,8 +161,11 @@ class GloVe(AbstractEmbeddingModel):
         batch = min(self._batch_size, n_entries)
         steps = max(1, n_entries // batch)
 
+        # Co-occurrence arrays ride the jit ARGUMENT path — closed-over jax
+        # arrays lower as inline HLO constants (GBs at large-graph entry
+        # counts, which stalls/kills remote compile backends).
         @functools.partial(jax.jit, donate_argnums=0)
-        def epoch_fn(params, epoch_key, lr):
+        def epoch_fn(params, epoch_key, lr, ci, cj, f_x, log_x):
             def body(params, k):
                 idx = jax.random.randint(k, (batch,), 0, n_entries)
                 i, j = ci[idx], cj[idx]
@@ -201,7 +204,9 @@ class GloVe(AbstractEmbeddingModel):
             lr = jnp.float32(
                 self._learning_rate * self._learning_rate_decay ** epoch
             )
-            params, last = epoch_fn(params, jax.random.fold_in(key, epoch), lr)
+            params, last = epoch_fn(
+                params, jax.random.fold_in(key, epoch), lr, ci, cj, f_x, log_x
+            )
         self._last_loss = None if last is None else float(last)
         return EmbeddingResult(
             embedding_method_name=self.model_name(),

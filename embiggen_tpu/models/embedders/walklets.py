@@ -258,8 +258,10 @@ class WalkletsGloVe(_WalkletsBase):
             bw_t = params["context_bias"][p_idx]
             bc_t = jnp.zeros_like(bw_t)
 
+            # Co-occurrence arrays ride the jit ARGUMENT path: closed-over
+            # jax arrays lower as inline HLO constants (GBs at scale).
             @jax.jit
-            def epoch_fn(state, epoch_key, lr):
+            def epoch_fn(state, epoch_key, lr, ci, cj, f_x, log_x):
                 def body(state, k):
                     emb, ctx, bw_t, bc_t = state
                     idx = jax.random.randint(k, (batch,), 0, n_entries)
@@ -290,7 +292,8 @@ class WalkletsGloVe(_WalkletsBase):
                     self._learning_rate * self._learning_rate_decay ** epoch
                 )
                 state, last = epoch_fn(
-                    state, jax.random.fold_in(key, epoch * 131 + p_idx), lr
+                    state, jax.random.fold_in(key, epoch * 131 + p_idx), lr,
+                    ci, cj, f_x, log_x,
                 )
             emb, ctx, bw_t, _ = state
             params["node_embedding"] = (

@@ -261,9 +261,14 @@ class _EdgeGCNBase(AbstractClassifierModel):
         # on the support graph; queried inside the jitted step (reference
         # AbstractEdgeFeature protocol, `abstract_edge_feature.py:49-80`).
         self._edge_feature_fns = []
+        self._edge_feature_tables = []
         for ef in lazy_edge_models:
             ef.fit(support)
             self._edge_feature_fns.append(ef.device_feature_fn())
+            tables_of = getattr(ef, "device_feature_tables", None)
+            self._edge_feature_tables.append(
+                tables_of() if tables_of is not None else None
+            )
             edge_dim += sum(
                 int(np.prod(shape))
                 for shape in ef.get_feature_dictionary_shapes().values()
@@ -330,6 +335,9 @@ class _EdgeGCNBase(AbstractClassifierModel):
             "edge_types_by_arc": self._edge_types_by_arc,
             "static_edge_feats": list(self._static_edge_feats),
             "edge_type_feat_tables": list(self._edge_type_feat_tables),
+            "lazy_edge_tables": list(
+                getattr(self, "_edge_feature_tables", [])
+            ),
         }
 
     def _edge_logits(
@@ -345,8 +353,15 @@ class _EdgeGCNBase(AbstractClassifierModel):
         dst_tower = params.get("dst_tower", params["src_tower"])
         h_dst = apply_mlp(dst_tower, h[dst], final_activation=jax.nn.relu)
         e = self._combine_fn(h_src, h_dst)
-        for fn in self._edge_feature_fns:
-            e = jnp.concatenate([e, fn(src, dst)], axis=1)
+        lazy_tables = (
+            get("lazy_edge_tables") if ctx is not None
+            else getattr(self, "_edge_feature_tables", None)
+        )
+        if not lazy_tables:
+            lazy_tables = [None] * len(self._edge_feature_fns)
+        for fn, tb in zip(self._edge_feature_fns, lazy_tables):
+            feat = fn(src, dst) if tb is None else fn(src, dst, tb)
+            e = jnp.concatenate([e, feat], axis=1)
         edge_ids = None
         types_by_arc = (
             get("edge_types_by_arc") if ctx is not None
