@@ -892,7 +892,7 @@ class NodePiece(KGEModel):
         # Materialize encoded node embeddings once at the end.
         glob = {n: params[n] for n in self.GLOBAL_KEYS}
         node_ids = jnp.arange(graph.number_of_nodes)
-        emb = jax.jit(lambda g: self._encode(node_ids, g))(glob)
+        emb = jax.jit(lambda ids, g: self._encode(ids, g))(node_ids, glob)
         return EmbeddingResult(
             embedding_method_name=self.model_name(),
             node_embeddings=[np.asarray(emb)],

@@ -129,11 +129,13 @@ def make_sharded_skipgram_step(
         }
         return params, loss
 
-    @functools.partial(jax.jit, donate_argnums=0)
-    def jitted(params, key, lr):
+    # dg rides the jit ARGUMENT path via functools.partial (a closure
+    # would lower the CSR arrays as inline HLO constants at graph scale).
+    @functools.partial(jax.jit, donate_argnums=1)
+    def jitted(dg, params, key, lr):
         return step(params, dg, key, lr)
 
-    return jitted
+    return functools.partial(jitted, dg)
 
 
 def make_dp_skipgram_step(
@@ -243,8 +245,10 @@ def make_dp_skipgram_step(
         loss = jax.lax.psum(loss, axis) / p
         return params, loss
 
-    @functools.partial(jax.jit, donate_argnums=0)
-    def jitted(params, key, lr):
+    # dg rides the jit ARGUMENT path via functools.partial (a closure
+    # would lower the CSR arrays as inline HLO constants at graph scale).
+    @functools.partial(jax.jit, donate_argnums=1)
+    def jitted(dg, params, key, lr):
         return step(params, dg, key, lr)
 
-    return jitted
+    return functools.partial(jitted, dg)

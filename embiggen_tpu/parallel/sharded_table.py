@@ -190,8 +190,10 @@ def make_row_sharded_skipgram_step(
         }
         return params, loss
 
-    @functools.partial(jax.jit, donate_argnums=0)
-    def jitted(params, key, lr):
+    # dg rides the jit ARGUMENT path via functools.partial (a closure
+    # would lower the CSR arrays as inline HLO constants at graph scale).
+    @functools.partial(jax.jit, donate_argnums=1)
+    def jitted(dg, params, key, lr):
         return step(params, dg, key, lr)
 
-    return jitted
+    return functools.partial(jitted, dg)
