@@ -51,22 +51,26 @@ class DeviceGraph:
     ell_cols: Optional["jax.Array"] = None  # [N, ell_cap] int32, -1 padded
     ell_w: Optional["jax.Array"] = None     # [N, ell_cap] f32 edge weights
     ell_cap: int = 0
+    # Per-arc source node ([E] int32, `device(with_sources=True)`): turns
+    # arc→source recovery into ONE element gather instead of a 20-round
+    # searchsorted over row_ptr (the positive-arc sampler's hot path).
+    sources: Optional["jax.Array"] = None
 
     def tree_flatten(self):
         children = (self.row_ptr, self.col_idx, self.degrees, self.weights,
                     self.edge_types, self.alias_prob, self.alias_idx,
-                    self.ell_cols, self.ell_w)
+                    self.ell_cols, self.ell_w, self.sources)
         aux = (self.n_nodes, self.n_arcs, self.max_degree, self.ell_cap)
         return children, aux
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         (row_ptr, col_idx, degrees, weights, edge_types, alias_prob,
-         alias_idx, ell_cols, ell_w) = children
+         alias_idx, ell_cols, ell_w, sources) = children
         n_nodes, n_arcs, max_degree, ell_cap = aux
         return cls(row_ptr, col_idx, degrees, weights, edge_types,
                    alias_prob, alias_idx, n_nodes, n_arcs, max_degree,
-                   ell_cols, ell_w, ell_cap)
+                   ell_cols, ell_w, ell_cap, sources)
 
 
 def _register_device_graph():
@@ -570,6 +574,7 @@ class Graph(ReferenceGraphAPI):
         with_weights: bool = True,
         dtype=None,
         ell_cap: Optional[int] = None,
+        with_sources: bool = False,
     ) -> DeviceGraph:
         """Export as a DeviceGraph pytree of jnp arrays for on-device kernels.
 
@@ -627,6 +632,10 @@ class Graph(ReferenceGraphAPI):
             ell_cols=ell_cols,
             ell_w=ell_w,
             ell_cap=ell_cap,
+            sources=(
+                jnp.asarray(self.sources, dtype=jnp.int32)
+                if with_sources else None
+            ),
         )
 
     # -------------------------------------------------------------- analysis

@@ -76,8 +76,10 @@ class _LINEBase(AbstractEmbeddingModel):
     def _sample_batch(self, dg: DeviceGraph, key):
         """(src [B], dst [B], neg [B, K]) — per-positive corrupted dsts."""
         k_arc, k_neg = jax.random.split(key)
+        from ...ops.negatives import arc_sources
+
         arc = sample_positive_arcs(dg, k_arc, self._batch_size)
-        src = jnp.searchsorted(dg.row_ptr, arc, side="right").astype(jnp.int32) - 1
+        src = arc_sources(dg, arc)
         dst = dg.col_idx[arc]
         shape = (self._batch_size, self._number_of_negative_samples)
         if self._use_scale_free_distribution:
@@ -102,7 +104,7 @@ class _LINEBase(AbstractEmbeddingModel):
         return src, dst, neg
 
     def _fit_transform(self, graph: Graph) -> EmbeddingResult:
-        dg = graph.device()
+        dg = graph.device(with_sources=True)
         key = jax.random.PRNGKey(self.random_state or 0)
         params = self._init_params(graph, key)
         steps_per_epoch = max(

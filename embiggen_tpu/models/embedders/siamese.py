@@ -83,7 +83,7 @@ class SiameseEmbedder(AbstractEmbeddingModel):
                 f"{self.model_name()} requires edge types; graph "
                 f"{graph.name} has none."
             )
-        dg = graph.device()
+        dg = graph.device(with_sources=True)
         key = jax.random.PRNGKey(self.random_state or 0)
         params = self._init_params(graph, key)
         steps_per_epoch = max(

@@ -411,6 +411,9 @@ class TrainLoop:
         lr_scale = 1.0
         history = []
         start_epoch = 0
+        # Wall time per epoch (first entry includes jit compile); read by
+        # benchmarks to separate compile from steady-state epoch cost.
+        self.epoch_seconds = []
 
         ckpt_path = self._ckpt_path()
         ckpt_fp = None
@@ -461,12 +464,16 @@ class TrainLoop:
                 lr_scale = float(state["lr_scale"])
                 history = [float(x) for x in np.asarray(state["history"])]
 
+        import time as _time
+
         for epoch in range(start_epoch, self.epochs):
+            _t0 = _time.perf_counter()
             key, sub = jax.random.split(key)
             params, opt_state, loss = step(
                 params, opt_state, sub, jnp.float32(lr_scale), data
             )
             loss = float(loss)
+            self.epoch_seconds.append(_time.perf_counter() - _t0)
             history.append(loss)
             if not np.isfinite(loss):  # TerminateOnNaN
                 params = best_params

@@ -434,7 +434,7 @@ class GCNEdgePrediction(_EdgeGCNBase, AbstractEdgePredictionModel):
             edge_type_features=kwargs.get("edge_type_features"),
             edge_features=kwargs.get("edge_features"),
         )
-        dg = graph.device()
+        dg = graph.device(with_sources=True)
         n_nodes = graph.number_of_nodes
         batch_size = min(self._batch_size, max(graph.number_of_directed_edges, 8))
         rate = self._negative_samples_rate
@@ -468,6 +468,7 @@ class GCNEdgePrediction(_EdgeGCNBase, AbstractEdgePredictionModel):
             fingerprint=graph_fingerprint(graph),
             data=self._train_ctx(kernels, dg),
         )
+        self._epoch_seconds = list(loop.epoch_seconds)
         self._n_nodes = n_nodes
 
     def _predict_proba(self, graph: Graph, support: Optional[Graph] = None,
@@ -572,6 +573,7 @@ class GCNEdgeLabelPrediction(_EdgeGCNBase, AbstractEdgeLabelPredictionModel):
             fingerprint=graph_fingerprint(graph, known_idx, y_all),
             data=data,
         )
+        self._epoch_seconds = list(loop.epoch_seconds)
         self._n_nodes = n_nodes
 
     def _predict_proba(self, graph: Graph, **kwargs) -> np.ndarray:

@@ -241,6 +241,7 @@ class GCNNodeLabelPrediction(AbstractNodeLabelPredictionModel):
             fingerprint=graph_fingerprint(graph, mask, y),
             data=data,
         )
+        self._epoch_seconds = list(loop.epoch_seconds)
 
     def _predict_proba(self, graph: Graph, support: Optional[Graph] = None,
                        **kwargs) -> np.ndarray:

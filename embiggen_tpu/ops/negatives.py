@@ -40,6 +40,16 @@ def sample_positive_arcs(
     return jax.random.randint(key, (batch_size,), 0, max(dg.n_arcs, 1))
 
 
+
+def arc_sources(dg: DeviceGraph, arc: jnp.ndarray) -> jnp.ndarray:
+    """Source node of each arc id: one element gather when the graph was
+    exported with `device(with_sources=True)`, else a log2(N)-round
+    searchsorted over row_ptr (~20x the gather descriptors at 1M nodes)."""
+    if dg.sources is not None:
+        return dg.sources[arc]
+    return jnp.searchsorted(dg.row_ptr, arc, side="right").astype(jnp.int32) - 1
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -70,10 +80,7 @@ def edge_prediction_mini_batch(
     k_pos, k_neg = jax.random.split(key)
 
     arc = sample_positive_arcs(dg, k_pos, n_pos)
-    # CSR row recovery: searchsorted over row_ptr gives the arc's source row.
-    pos_src = (
-        jnp.searchsorted(dg.row_ptr, arc, side="right").astype(jnp.int32) - 1
-    )
+    pos_src = arc_sources(dg, arc)
     pos_dst = dg.col_idx[arc]
 
     avoid = graph_to_avoid if graph_to_avoid is not None else dg
@@ -125,9 +132,7 @@ def siamese_mini_batch(
     KGE bernoulli-free corruption."""
     k_arc, k_node, k_side = jax.random.split(key, 3)
     arc = sample_positive_arcs(dg, k_arc, batch_size)
-    src = (
-        jnp.searchsorted(dg.row_ptr, arc, side="right").astype(jnp.int32) - 1
-    )
+    src = arc_sources(dg, arc)
     dst = dg.col_idx[arc]
     if use_scale_free_distribution:
         rand_node = sample_nodes_scale_free(dg, k_node, (batch_size,))
@@ -173,8 +178,7 @@ def edge_chunk(
     padded by clamping to the last arc; callers mask with `chunk_mask`."""
     start = chunk_index * chunk_size
     idx = jnp.clip(start + jnp.arange(chunk_size), 0, max(dg.n_arcs - 1, 0))
-    src = jnp.searchsorted(dg.row_ptr, idx, side="right").astype(jnp.int32) - 1
-    return src, dg.col_idx[idx]
+    return arc_sources(dg, idx), dg.col_idx[idx]
 
 
 def chunk_mask(dg: DeviceGraph, chunk_index: int, chunk_size: int) -> jnp.ndarray:
