@@ -176,7 +176,7 @@ class FirstOrderLINE(_LINEBase):
         # scatter policy as the walk embedders — see walk_based._mean_scatter).
         idx = jnp.concatenate([src, dst, neg.reshape(-1)])
         g_all = jnp.concatenate([g_s, g_d, g_n.reshape(-1, d)])
-        params["node_embedding"] = _mean_scatter(emb, idx, g_all, lr)
+        params["node_embedding"], _ = _mean_scatter(emb, idx, g_all, lr)
         return params, loss / len(src)
 
     def _extract(self, params, graph):
@@ -227,10 +227,10 @@ class SecondOrderLINE(_LINEBase):
             emb[src], ctx[dst], ctx[neg]
         )
         d = self.embedding_size
-        params["node_embedding"] = _mean_scatter(emb, src, g_s, lr)
+        params["node_embedding"], _ = _mean_scatter(emb, src, g_s, lr)
         idx = jnp.concatenate([dst, neg.reshape(-1)])
         g_all = jnp.concatenate([g_d, g_n.reshape(-1, d)])
-        params["context_embedding"] = _mean_scatter(ctx, idx, g_all, lr)
+        params["context_embedding"], _ = _mean_scatter(ctx, idx, g_all, lr)
         return params, loss / len(src)
 
     def _extract(self, params, graph):

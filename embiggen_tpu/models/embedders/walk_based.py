@@ -622,7 +622,7 @@ def _st_clip(x, c):
     return x + jax.lax.stop_gradient(jnp.clip(x, -c, c) - x)
 
 
-def _mean_scatter(table, idx, grads, lr):
+def _mean_scatter(table, idx, grads, lr, counts=None):
     """SGD scatter-update with per-row MEAN accumulation: a row appearing k
     times in `idx` receives the AVERAGE of its k pair-gradients, once, at
     full lr. This makes the per-row step size invariant to both graph size
@@ -630,12 +630,16 @@ def _mean_scatter(table, idx, grads, lr):
     collapsed into one batch) explodes on small graphs where each row is
     revisited dozens of times per batch, while a batch-mean (Keras reduction
     semantics) vanishes on large graphs where each row appears in a tiny
-    fraction of pairs. Only an [N] count vector is materialized."""
-    counts = jnp.zeros((table.shape[0],), jnp.float32).at[idx].add(1.0)
+    fraction of pairs. Only an [N] count vector is materialized — and when
+    several tables share the same `idx` (SkipGram/CBOW update three), the
+    caller passes the count vector back in, paying its scatter once.
+    Returns (updated_table, counts)."""
+    if counts is None:
+        counts = jnp.zeros((table.shape[0],), jnp.float32).at[idx].add(1.0)
     scale = 1.0 / jnp.maximum(counts[idx], 1.0)
     if grads.ndim > 1:
         scale = scale[:, None]
-    return table.at[idx].add(-lr * grads * scale)
+    return table.at[idx].add(-lr * grads * scale), counts
 
 
 @register_model
@@ -729,17 +733,17 @@ class SkipGram(WalkBasedEmbedder):
         # SBM/karate separation harness; the st_clip bounds each term).
         g_w, g_c, g_b = row_grads
         g_neg, g_nb = neg_grads
-        params["node_embedding"] = mean_scatter(
+        params["node_embedding"], counts = mean_scatter(
             params["node_embedding"], flat, g_w, lr
         )
-        params["context_embedding"] = neg_add(
-            mean_scatter(params["context_embedding"], flat, g_c, lr),
-            negs, g_neg,
+        ctx, _ = mean_scatter(
+            params["context_embedding"], flat, g_c, lr, counts=counts
         )
-        params["context_bias"] = neg_add(
-            mean_scatter(params["context_bias"], flat, g_b, lr),
-            negs, g_nb,
+        params["context_embedding"] = neg_add(ctx, negs, g_neg)
+        bias, _ = mean_scatter(
+            params["context_bias"], flat, g_b, lr, counts=counts
         )
+        params["context_bias"] = neg_add(bias, negs, g_nb)
         return params
 
     def _extract(self, params, graph):
@@ -827,17 +831,17 @@ class CBOW(WalkBasedEmbedder):
         # Same scatter policy as SkipGram: mean rows, summed shared negatives.
         g_in, g_out, g_ob = row_grads
         g_neg, g_nb = neg_grads
-        params["node_embedding"] = mean_scatter(
+        params["node_embedding"], counts = mean_scatter(
             params["node_embedding"], flat, g_in, lr
         )
-        params["output_embedding"] = neg_add(
-            mean_scatter(params["output_embedding"], flat, g_out, lr),
-            negs, g_neg,
+        out_emb, _ = mean_scatter(
+            params["output_embedding"], flat, g_out, lr, counts=counts
         )
-        params["output_bias"] = neg_add(
-            mean_scatter(params["output_bias"], flat, g_ob, lr),
-            negs, g_nb,
+        params["output_embedding"] = neg_add(out_emb, negs, g_neg)
+        out_b, _ = mean_scatter(
+            params["output_bias"], flat, g_ob, lr, counts=counts
         )
+        params["output_bias"] = neg_add(out_b, negs, g_nb)
         return params
 
     def _extract(self, params, graph):

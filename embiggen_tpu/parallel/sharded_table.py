@@ -81,18 +81,20 @@ def _scatter_add_owned(shard, idx, updates, axis):
     return shard.at[local].add(jnp.where(mask, updates, 0))
 
 
-def _mean_scatter_owned(shard, idx, grads, lr, axis):
+def _mean_scatter_owned(shard, idx, grads, lr, axis, counts=None):
     """Row-sharded counterpart of `walk_based._mean_scatter`: a row appearing
     k times in the (replicated, global) `idx` receives the AVERAGE of its k
     gradients, once, at full lr — applied only by the owning shard, no comm.
-    Counts use only a [shard_rows] buffer."""
+    Counts use only a [shard_rows] buffer, shared across same-idx tables via
+    the `counts` pass-back. Returns (updated_shard, counts)."""
     local, ok = _owned(idx, shard.shape[0], axis)
     okf = ok.astype(jnp.float32)
-    counts = jnp.zeros((shard.shape[0],), jnp.float32).at[local].add(okf)
+    if counts is None:
+        counts = jnp.zeros((shard.shape[0],), jnp.float32).at[local].add(okf)
     scale = okf / jnp.maximum(counts[local], 1.0)
     if grads.ndim > 1:
         scale = scale[:, None]
-    return shard.at[local].add(-lr * grads * scale)
+    return shard.at[local].add(-lr * grads * scale), counts
 
 
 def make_row_sharded_skipgram_step(
