@@ -64,7 +64,7 @@ def edge_prediction_mini_batch(
     negative_samples_rate: float = 0.5,
     use_scale_free_distribution: bool = True,
     avoid_false_negatives: bool = True,
-    n_attempts: int = 4,
+    n_attempts: int = 2,
     graph_to_avoid: Optional[DeviceGraph] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """(sources [B], destinations [B], labels [B] f32) with the first
@@ -72,8 +72,13 @@ def edge_prediction_mini_batch(
 
     Negatives pair a scale-free (or uniform) source with a scale-free
     destination; with `avoid_false_negatives` each colliding pair is
-    re-sampled up to n_attempts times (remaining collisions keep label 0 with
-    probability ~density, matching the reference's best-effort semantics).
+    re-sampled up to n_attempts times (remaining collisions keep label 0
+    with probability ~collision_rate^(n_attempts+1), matching the
+    reference's best-effort semantics). Each round costs a full-width CSR
+    membership sweep (log2(max_degree) element-gather rounds), so the
+    default is the smallest count whose residual is negligible: after the
+    initial draw plus 2 re-rounds the residual is collision_rate^3 — at a
+    1%-collision graph that is 1e-6 of the negatives.
     """
     n_neg = int(round(batch_size * negative_samples_rate))
     n_pos = batch_size - n_neg
@@ -97,6 +102,10 @@ def edge_prediction_mini_batch(
 
     src, dst = sample_neg(k_neg)
     if avoid_false_negatives:
+        # Sequential check-and-resample rounds. (A single wide sweep over
+        # all rounds' candidates was measured SLOWER — it pays
+        # (rounds+1)/rounds the binary-search elements and the per-width
+        # gather-rate gain does not compensate.)
         for i in range(n_attempts):
             bad = csr_has_edges(
                 avoid.row_ptr, avoid.col_idx, src, dst,
