@@ -132,7 +132,11 @@ class AbstractEdgePredictionModel(AbstractClassifierModel):
     # score the |S|×|D| candidate product in fixed-size chunks — each chunk's
     # (src, dst) index arrays are synthesized from the flat pair index, so
     # the product is never materialized on the host.
-    PREDICTION_CHUNK_SIZE = 1 << 15  # reference `prediction_batch_size=2**15`
+    # The reference uses prediction_batch_size=2**15 sized for host numpy
+    # pipelines; on TPU each chunk is one jitted dispatch with fixed
+    # overhead (tens of ms through a remote runtime), and a [2^20] pair
+    # batch is still tiny on-device — 32x fewer dispatches at bench scale.
+    PREDICTION_CHUNK_SIZE = 1 << 20
 
     def _score_pair_product(
         self,
