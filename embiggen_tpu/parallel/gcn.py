@@ -65,7 +65,7 @@ def make_sharded_gcn_edge_step(
     step — halo-SpMM convolution over the node-sharded features, on-device
     edge minibatch (scale-free negatives), Hadamard edge head, BCE, SGD."""
 
-    def encode(params, x):
+    def encode(params, part, x):
         h = x
         for layer in params["conv"]:
             h = halo_spmm(mesh, axis, part, h, combiner)
@@ -74,8 +74,8 @@ def make_sharded_gcn_edge_step(
 
     optimizer = optax.sgd(learning_rate)
 
-    def loss_fn(params, key):
-        h = encode(params, x_sharded)
+    def loss_fn(params, part, x, dg, key):
+        h = encode(params, part, x)
         src, dst, labels = edge_prediction_mini_batch(
             dg, key, batch_size,
             negative_samples_rate=0.5, use_scale_free_distribution=True,
@@ -84,11 +84,15 @@ def make_sharded_gcn_edge_step(
         logits = e @ params["head"]["w"] + params["head"]["b"]
         return (jax.nn.softplus(logits) - labels * logits).mean()
 
+    # Graph-sized arrays ride the jit ARGUMENT path via functools.partial
+    # (closure capture would lower them as inline HLO constants).
     @jax.jit
-    def step(params, opt_state, key):
-        loss, grads = jax.value_and_grad(loss_fn)(params, key)
+    def _step(part, x, dg, params, opt_state, key):
+        loss, grads = jax.value_and_grad(loss_fn)(params, part, x, dg, key)
         updates, opt_state = optimizer.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
+
+    step = functools.partial(_step, part, x_sharded, dg)
 
     def init(key):
         params = init_sharded_gcn_params(
