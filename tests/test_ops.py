@@ -134,3 +134,35 @@ def test_multiclass_metrics():
     ml_probs = np.clip(ml_labels * 0.6 + rng.uniform(0, 0.5, (100, 4)), 0, 1)
     m2 = multiclass_metrics(ml_labels, ml_probs, multilabel=True)
     assert "hamming_loss" in m2
+
+
+def test_arc_sources_matches_searchsorted(karate):
+    """device(with_sources=True) must give identical arc->source recovery
+    to the searchsorted fallback, end to end through the samplers."""
+    import jax
+    import jax.numpy as jnp
+
+    from embiggen_tpu.ops.negatives import (
+        arc_sources,
+        edge_chunk,
+        edge_prediction_mini_batch,
+    )
+
+    kgraph = karate
+    kdev = kgraph.device()
+    dgs = kgraph.device(with_sources=True)
+    assert dgs.sources is not None
+    arcs = jnp.arange(kdev.n_arcs, dtype=jnp.int32)
+    np.testing.assert_array_equal(
+        np.asarray(arc_sources(kdev, arcs)),
+        np.asarray(arc_sources(dgs, arcs)),
+    )
+    s1, d1 = edge_chunk(kdev, 0, 64)
+    s2, d2 = edge_chunk(dgs, 0, 64)
+    np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
+    np.testing.assert_array_equal(np.asarray(d1), np.asarray(d2))
+    key = jax.random.PRNGKey(3)
+    a = edge_prediction_mini_batch(kdev, key, 64)
+    b = edge_prediction_mini_batch(dgs, key, 64)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))

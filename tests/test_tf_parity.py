@@ -274,3 +274,21 @@ def test_spmm_padded_unsorted_coo_and_empty_rows():
     got = np.asarray(spmm_padded(pk, jnp.asarray(x), "sum"))
     np.testing.assert_allclose(got, expect, rtol=1e-4, atol=1e-5)
     assert np.allclose(got[13], 0.0)
+
+
+def test_choose_k_tracks_degree_distribution():
+    """The ELLPACK width chooser balances padding (gather) against
+    overflow (scatter): uniform degrees pick ~the degree, heavy tails
+    pick a small K and push hub tails to the overflow path."""
+    from embiggen_tpu.ops.spmm import _choose_k
+
+    uniform = np.full(10_000, 20, np.int64)
+    k_u = _choose_k(uniform, cap=512, min_k=4)
+    assert k_u == 20, k_u
+
+    # 99% degree-4 rows, 1% degree-5000 hubs: padding everyone to a hub
+    # width would cost 1000x the gathers; K must stay near the bulk.
+    heavy = np.full(10_000, 4, np.int64)
+    heavy[:100] = 5000
+    k_h = _choose_k(heavy, cap=512, min_k=4)
+    assert k_h <= 64, k_h
