@@ -155,8 +155,17 @@ def main():
         _mark(f"dp p={p}: {dp_results[p]}")
 
     base = halo_results[counts[0]]["edges_per_s"]
-    top = halo_results[counts[-1]]["edges_per_s"]
-    eff = top / (base * counts[-1])
+    virtual = len(jax.devices()) > (os.cpu_count() or 1)
+    # On a virtual mesh, device counts beyond the physical cores measure
+    # oversubscription, not scaling: headline the largest count that still
+    # maps 1:1 onto real compute; the full per-count table is always
+    # emitted. On a real slice every count is genuine.
+    honest = [
+        p for p in counts if (not virtual) or p <= (os.cpu_count() or 1)
+    ] or counts[:1]
+    head = honest[-1]
+    top = halo_results[head]["edges_per_s"]
+    eff = top / (base * head)
     print(
         json.dumps(
             {
@@ -164,10 +173,15 @@ def main():
                 "value": top,
                 "unit": "edges/s",
                 "vs_baseline": round(top / base, 3),
-                "n_devices": counts[-1],
+                "n_devices": head,
                 "scaling_efficiency": round(eff, 3),
                 "physical_cpus": os.cpu_count(),
-                "virtual_mesh": len(jax.devices()) > (os.cpu_count() or 1),
+                "virtual_mesh": virtual,
+                "virtual_mesh_caveat": (
+                    "virtual CPU mesh: counts beyond physical_cpus measure "
+                    "core oversubscription, not scaling; this host validates "
+                    "partitioning/collective structure and comm volume only"
+                ) if virtual else None,
                 "graph": f"ER(n={n_nodes},arcs={n_arcs})",
                 "halo": halo_results,
                 "dp_skipgram": dp_results,

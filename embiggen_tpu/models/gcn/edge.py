@@ -58,7 +58,7 @@ class _EdgeGCNBase(AbstractClassifierModel):
         use_edge_type_embedding: bool = False,
         edge_type_embedding_size: int = 16,
         edge_feature_models=None,
-        batch_size: int = 1024,
+        batch_size: Optional[int] = None,
         epochs: int = 200,
         learning_rate: float = 0.001,
         early_stopping_patience: int = 20,
@@ -156,6 +156,23 @@ class _EdgeGCNBase(AbstractClassifierModel):
             "units": [8], "tower_units": [8], "head_units": [8],
             "epochs": 5, "batch_size": 64,
         }
+
+    def _resolve_batch_size(self, n_examples: int) -> int:
+        """Edge batch per training step. Explicit values win; the default
+        mirrors the reference's full-batch rule for convolutional models
+        (`abstract_gcn.py:452-456` forces batch = n_nodes whenever conv
+        layers exist): every step pays a FULL-graph convolution, so tiny
+        edge batches leave the conv cost amortized over almost nothing —
+        at 1M nodes / 20M arcs a 1024-edge batch would run ~19.5k
+        convolutions per epoch. Non-convolutional models (pure
+        embedding/FFNN "GNN" preset) keep a classic minibatch."""
+        if self._batch_size is not None:
+            return max(1, min(self._batch_size, max(n_examples, 8)))
+        if self._units and self._kernels:
+            n_nodes = getattr(self, "_n_nodes_hint", None)
+            base = n_nodes if n_nodes else n_examples
+            return max(1, min(max(base, 1024), max(n_examples, 8)))
+        return max(1, min(1024, max(n_examples, 8)))
 
     # --------------------------------------------------------------- assembly
     def _build_common(self, graph: Graph, support: Graph, node_features, key,
@@ -436,7 +453,10 @@ class GCNEdgePrediction(_EdgeGCNBase, AbstractEdgePredictionModel):
         )
         dg = graph.device(with_sources=True)
         n_nodes = graph.number_of_nodes
-        batch_size = min(self._batch_size, max(graph.number_of_directed_edges, 8))
+        self._n_nodes_hint = n_nodes
+        batch_size = self._resolve_batch_size(
+            graph.number_of_directed_edges
+        )
         rate = self._negative_samples_rate
         scale_free = self._use_scale_free_distribution
         model = self
@@ -542,7 +562,8 @@ class GCNEdgeLabelPrediction(_EdgeGCNBase, AbstractEdgeLabelPredictionModel):
         dst_all = jnp.asarray(graph.col_idx[known_idx], jnp.int32)
         y_all = jnp.asarray(graph.edge_types[known_idx], jnp.int32)
         n_known = len(known_idx)
-        batch_size = min(self._batch_size, n_known)
+        self._n_nodes_hint = graph.number_of_nodes
+        batch_size = self._resolve_batch_size(n_known)
         model = self
 
         def loss_fn(params, k, data):
