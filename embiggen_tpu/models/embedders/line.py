@@ -33,7 +33,7 @@ class _LINEBase(AbstractEmbeddingModel):
         self,
         embedding_size: int = 100,
         epochs: int = 30,
-        batch_size: int = 1024,
+        batch_size: Optional[int] = None,
         number_of_negative_samples: int = 5,
         learning_rate: float = 0.05,
         learning_rate_decay: float = 0.9,
@@ -73,15 +73,21 @@ class _LINEBase(AbstractEmbeddingModel):
     def smoke_test_parameters(cls) -> Dict[str, Any]:
         return {"embedding_size": 5, "epochs": 2, "batch_size": 64}
 
+    def _run_batch(self) -> int:
+        b = getattr(self, "_run_batch_size", None)
+        if b is not None:
+            return b
+        return self._batch_size if self._batch_size is not None else 1024
+
     def _sample_batch(self, dg: DeviceGraph, key):
         """(src [B], dst [B], neg [B, K]) — per-positive corrupted dsts."""
         k_arc, k_neg = jax.random.split(key)
         from ...ops.negatives import arc_sources
 
-        arc = sample_positive_arcs(dg, k_arc, self._batch_size)
+        arc = sample_positive_arcs(dg, k_arc, self._run_batch())
         src = arc_sources(dg, arc)
         dst = dg.col_idx[arc]
-        shape = (self._batch_size, self._number_of_negative_samples)
+        shape = (self._run_batch(), self._number_of_negative_samples)
         if self._use_scale_free_distribution:
             neg = sample_nodes_scale_free(dg, k_neg, shape)
         else:
@@ -106,9 +112,13 @@ class _LINEBase(AbstractEmbeddingModel):
     def _fit_transform(self, graph: Graph) -> EmbeddingResult:
         dg = graph.device(with_sources=True)
         key = jax.random.PRNGKey(self.random_state or 0)
+        # batch_size=None auto-scales with the graph (see SiameseEmbedder).
+        self._run_batch_size = self._batch_size or int(
+            min(65536, max(1024, graph.number_of_directed_edges // 64))
+        )
         params = self._init_params(graph, key)
         steps_per_epoch = max(
-            1, graph.number_of_directed_edges // self._batch_size
+            1, graph.number_of_directed_edges // self._run_batch_size
         )
         step_fn = self._step
 

@@ -35,7 +35,7 @@ class SiameseEmbedder(AbstractEmbeddingModel):
         self,
         embedding_size: int = 100,
         epochs: int = 30,
-        batch_size: int = 1024,
+        batch_size: Optional[int] = None,
         relu_bias: float = 1.0,
         learning_rate: float = 0.05,
         learning_rate_decay: float = 0.9,
@@ -77,6 +77,14 @@ class SiameseEmbedder(AbstractEmbeddingModel):
             return l1_distance(a, b)
         return squared_l2_distance(a, b)
 
+    def _run_batch(self) -> int:
+        """Triple batch in effect (set by `_fit_transform`; constructor
+        value or 1024 when stepping outside a fit)."""
+        b = getattr(self, "_run_batch_size", None)
+        if b is not None:
+            return b
+        return self._batch_size if self._batch_size is not None else 1024
+
     def _fit_transform(self, graph: Graph) -> EmbeddingResult:
         if self._uses_edge_types() and not graph.has_edge_types:
             raise ValueError(
@@ -86,8 +94,14 @@ class SiameseEmbedder(AbstractEmbeddingModel):
         dg = graph.device(with_sources=True)
         key = jax.random.PRNGKey(self.random_state or 0)
         params = self._init_params(graph, key)
+        # batch_size=None auto-scales triples-per-step with the graph: a
+        # fixed 1k-triple batch leaves the chip ~idle at millions of arcs
+        # (same rationale as the walker batch; epochs still cover E arcs).
+        self._run_batch_size = self._batch_size or int(
+            min(65536, max(1024, graph.number_of_directed_edges // 64))
+        )
         steps_per_epoch = max(
-            1, graph.number_of_directed_edges // self._batch_size
+            1, graph.number_of_directed_edges // self._run_batch_size
         )
         step_fn = self._step
 
@@ -112,7 +126,7 @@ class SiameseEmbedder(AbstractEmbeddingModel):
 
     def _sample(self, dg, key):
         return siamese_mini_batch(
-            dg, key, self._batch_size,
+            dg, key, self._run_batch(),
             use_scale_free_distribution=self._use_scale_free_distribution,
             with_edge_types=self._uses_edge_types(),
         )
