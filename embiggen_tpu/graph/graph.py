@@ -55,22 +55,33 @@ class DeviceGraph:
     # arc→source recovery into ONE element gather instead of a 20-round
     # searchsorted over row_ptr (the positive-arc sampler's hot path).
     sources: Optional["jax.Array"] = None
+    # Typed-walk exports (`device(with_walk_types=True)`): primary node type
+    # per node plus per-ELL-slot candidate node / edge types, so the typed
+    # transition factors (`change_node_type_weight` / `change_edge_type_weight`,
+    # reference `abstract_random_walked_based_embedder_model.py:8-158`) cost
+    # row gathers, not per-candidate element gathers.
+    node_type_of: Optional["jax.Array"] = None  # [N] int32, -1 unknown
+    ell_ntypes: Optional["jax.Array"] = None    # [N, ell_cap] int32
+    ell_etypes: Optional["jax.Array"] = None    # [N, ell_cap] int32
 
     def tree_flatten(self):
         children = (self.row_ptr, self.col_idx, self.degrees, self.weights,
                     self.edge_types, self.alias_prob, self.alias_idx,
-                    self.ell_cols, self.ell_w, self.sources)
+                    self.ell_cols, self.ell_w, self.sources,
+                    self.node_type_of, self.ell_ntypes, self.ell_etypes)
         aux = (self.n_nodes, self.n_arcs, self.max_degree, self.ell_cap)
         return children, aux
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         (row_ptr, col_idx, degrees, weights, edge_types, alias_prob,
-         alias_idx, ell_cols, ell_w, sources) = children
+         alias_idx, ell_cols, ell_w, sources,
+         node_type_of, ell_ntypes, ell_etypes) = children
         n_nodes, n_arcs, max_degree, ell_cap = aux
         return cls(row_ptr, col_idx, degrees, weights, edge_types,
                    alias_prob, alias_idx, n_nodes, n_arcs, max_degree,
-                   ell_cols, ell_w, ell_cap, sources)
+                   ell_cols, ell_w, ell_cap, sources,
+                   node_type_of, ell_ntypes, ell_etypes)
 
 
 def _register_device_graph():
@@ -575,13 +586,26 @@ class Graph(ReferenceGraphAPI):
         dtype=None,
         ell_cap: Optional[int] = None,
         with_sources: bool = False,
+        with_walk_types: bool = False,
+        ell_seed: int = 0,
     ) -> DeviceGraph:
         """Export as a DeviceGraph pytree of jnp arrays for on-device kernels.
 
         `ell_cap` additionally builds the capped ELLPACK adjacency ([N, cap]
-        int32, -1 padded, first `cap` CSR entries per row — the same capped
-        candidate set the exact p/q sampler uses) that powers the row-gather
-        second-order walk kernel (`ops/walks.py::_second_order_step_ell`)."""
+        int32, -1 padded) that powers the row-gather p/q walk kernel
+        (`ops/walks.py::_second_order_step_ell`). Rows whose degree exceeds
+        the cap hold a SEEDED UNIFORM SUBSAMPLE of their neighbours (not the
+        first `cap` CSR entries — that would make high-column-id hub
+        neighbours unreachable by capped walks). This mirrors the reference's
+        approximate-walk mode for high-degree nodes
+        (`abstract_random_walked_based_embedder_model.py:57-60`:
+        max_neighbours "approximated walks"); `ell_seed` (e.g. the model's
+        random_state) varies the subsample across fits.
+
+        `with_walk_types` exports the primary node type per node and, when
+        the ELL table is built, the per-slot candidate node/edge types used
+        by the typed transition factors (change_node_type_weight /
+        change_edge_type_weight)."""
         import jax.numpy as jnp
 
         alias_prob = alias_idx = None
@@ -589,16 +613,37 @@ class Graph(ReferenceGraphAPI):
             prob, alias = build_alias_tables(self.row_ptr, self.weights)
             alias_prob = jnp.asarray(prob)
             alias_idx = jnp.asarray(alias)
-        ell_cols = ell_w = None
+        node_type_of = None
+        if with_walk_types and self.has_node_types:
+            node_type_of = jnp.asarray(self.get_single_label_node_type_ids())
+        ell_cols = ell_w = ell_ntypes = ell_etypes = None
         if ell_cap is not None and ell_cap > 0:
             cap = int(min(ell_cap, max(int(self.degrees.max(initial=1)), 1)))
             n = self.number_of_nodes
-            counts = np.minimum(self.degrees.astype(np.int64), cap)
-            # per-edge position within its row; keep the first `cap`
+            degrees = self.degrees.astype(np.int64)
             row_start = self.row_ptr[:-1].astype(np.int64)
-            rows = np.repeat(np.arange(n, dtype=np.int64),
-                             self.degrees.astype(np.int64))
+            rows = np.repeat(np.arange(n, dtype=np.int64), degrees)
             pos = np.arange(rows.shape[0], dtype=np.int64) - row_start[rows]
+            over = degrees > cap
+            if over.any():
+                # Random within-row order for over-cap rows only; keeping
+                # the first `cap` of a random order IS a uniform subsample.
+                sub = over[rows]
+                rng = np.random.default_rng(ell_seed)
+                order = np.lexsort((rng.random(int(sub.sum())), rows[sub]))
+                ranks = np.empty(order.shape[0], dtype=np.int64)
+                sub_rows = rows[sub][order]
+                starts = np.concatenate(
+                    [[0], np.flatnonzero(sub_rows[1:] != sub_rows[:-1]) + 1]
+                )
+                ranks[order] = (
+                    np.arange(order.shape[0], dtype=np.int64)
+                    - np.repeat(starts, np.diff(np.concatenate(
+                        [starts, [order.shape[0]]]
+                    )))
+                )
+                pos = pos.copy()
+                pos[sub] = ranks
             keep = pos < cap
             ecols = np.full((n, cap), -1, np.int32)
             ecols[rows[keep], pos[keep]] = self.col_idx[keep]
@@ -607,6 +652,16 @@ class Graph(ReferenceGraphAPI):
                 ew = np.zeros((n, cap), np.float32)
                 ew[rows[keep], pos[keep]] = self.weights[keep]
                 ell_w = jnp.asarray(ew)
+            if with_walk_types:
+                if node_type_of is not None:
+                    ent = np.full((n, cap), -1, np.int32)
+                    ntypes = self.get_single_label_node_type_ids()
+                    ent[rows[keep], pos[keep]] = ntypes[self.col_idx[keep]]
+                    ell_ntypes = jnp.asarray(ent)
+                if self.edge_types is not None:
+                    eet = np.full((n, cap), -1, np.int32)
+                    eet[rows[keep], pos[keep]] = self.edge_types[keep]
+                    ell_etypes = jnp.asarray(eet)
             ell_cap = cap
         else:
             ell_cap = 0
@@ -636,6 +691,9 @@ class Graph(ReferenceGraphAPI):
                 jnp.asarray(self.sources, dtype=jnp.int32)
                 if with_sources else None
             ),
+            node_type_of=node_type_of,
+            ell_ntypes=ell_ntypes,
+            ell_etypes=ell_etypes,
         )
 
     # -------------------------------------------------------------- analysis

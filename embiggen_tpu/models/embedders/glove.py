@@ -35,6 +35,8 @@ class GloVe(AbstractEmbeddingModel):
         window_size: int = 5,
         return_weight: float = 1.0,
         explore_weight: float = 1.0,
+        change_node_type_weight: float = 1.0,
+        change_edge_type_weight: float = 1.0,
         max_neighbours: Optional[int] = 100,
         learning_rate: float = 0.05,
         learning_rate_decay: float = 0.95,
@@ -50,6 +52,8 @@ class GloVe(AbstractEmbeddingModel):
         self._window_size = window_size
         self._return_weight = return_weight
         self._explore_weight = explore_weight
+        self._change_node_type_weight = change_node_type_weight
+        self._change_edge_type_weight = change_edge_type_weight
         self._max_neighbours = max_neighbours
         self._learning_rate = learning_rate
         self._learning_rate_decay = learning_rate_decay
@@ -74,6 +78,8 @@ class GloVe(AbstractEmbeddingModel):
             "window_size": self._window_size,
             "return_weight": self._return_weight,
             "explore_weight": self._explore_weight,
+            "change_node_type_weight": self._change_node_type_weight,
+            "change_edge_type_weight": self._change_edge_type_weight,
             "max_neighbours": self._max_neighbours,
             "learning_rate": self._learning_rate,
             "learning_rate_decay": self._learning_rate_decay,
@@ -93,12 +99,19 @@ class GloVe(AbstractEmbeddingModel):
     def _cooccurrences(self, graph: Graph) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         """(centers, contexts, counts) with distance-decayed weights, from
         `iterations` walks per node."""
+        typed = (
+            self._change_node_type_weight != 1.0
+            or self._change_edge_type_weight != 1.0
+        )
         second_order = (
             self._return_weight != 1.0 or self._explore_weight != 1.0
+            or typed
         )
         dg = graph.device(
             with_alias=graph.has_edge_weights,
             ell_cap=(self._max_neighbours or 100) if second_order else None,
+            with_walk_types=typed,
+            ell_seed=self.random_state or 0,
         )
         key = jax.random.PRNGKey(self.random_state or 0)
         n = graph.number_of_nodes
@@ -111,6 +124,8 @@ class GloVe(AbstractEmbeddingModel):
                 return_weight=self._return_weight,
                 explore_weight=self._explore_weight,
                 max_neighbours=self._max_neighbours,
+                change_node_type_weight=self._change_node_type_weight,
+                change_edge_type_weight=self._change_edge_type_weight,
             )
         )
         keys = []

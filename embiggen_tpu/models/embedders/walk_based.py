@@ -51,12 +51,21 @@ class WalkBasedEmbedder(AbstractEmbeddingModel):
         window_size: int = 5,
         return_weight: float = 1.0,
         explore_weight: float = 1.0,
+        change_node_type_weight: float = 1.0,
+        change_edge_type_weight: float = 1.0,
         max_neighbours: Optional[int] = 100,
         learning_rate: float = 0.05,
         learning_rate_decay: float = 0.9,
         number_of_negative_samples: int = 10,
         use_scale_free_distribution: bool = True,
         clipping_value: float = 6.0,
+        normalize_by_degree: bool = False,
+        stochastic_downsample_by_degree: bool = False,
+        normalize_learning_rate_by_degree: bool = False,
+        early_stopping_min_delta: float = 0.001,
+        early_stopping_patience: int = 1,
+        learning_rate_plateau_min_delta: float = 0.001,
+        learning_rate_plateau_patience: int = 1,
         mesh=None,
         distribution: str = "auto",
         checkpoint_dir: Optional[str] = None,
@@ -86,12 +95,40 @@ class WalkBasedEmbedder(AbstractEmbeddingModel):
         self._window_size = window_size
         self._return_weight = return_weight
         self._explore_weight = explore_weight
+        # Typed transition re-weighting (reference
+        # `abstract_random_walked_based_embedder_model.py:8-158`); factors
+        # are inert on graphs without the corresponding type annotations.
+        self._change_node_type_weight = change_node_type_weight
+        self._change_edge_type_weight = change_edge_type_weight
         self._max_neighbours = max_neighbours
         self._learning_rate = learning_rate
         self._learning_rate_decay = learning_rate_decay
         self._number_of_negative_samples = number_of_negative_samples
         self._use_scale_free_distribution = use_scale_free_distribution
         self._clipping_value = clipping_value
+        # Degree-conditioned SGD knobs of the reference Rust trainers
+        # (`ensmallen_embedders/node2vec_skipgram.py:25-36`):
+        # - stochastic_downsample_by_degree: word2vec-style frequency
+        #   subsampling of walk CENTERS — a centre of degree d is kept with
+        #   probability min(1, sqrt(1e-3 · E / d)) (node frequency in the
+        #   walk corpus is d/E under the stationary distribution);
+        # - normalize_learning_rate_by_degree: each centre's pair-gradients
+        #   are scaled by mean_degree / degree(centre), damping hub updates
+        #   without changing the global step size;
+        # - normalize_by_degree: final embedding rows divided by their
+        #   node's degree at extraction.
+        self._normalize_by_degree = normalize_by_degree
+        self._stochastic_downsample_by_degree = stochastic_downsample_by_degree
+        self._normalize_learning_rate_by_degree = (
+            normalize_learning_rate_by_degree
+        )
+        # Early stopping + LR-on-plateau, default-on like the reference's
+        # Keras callbacks (`tensorflow_embedder.py:264-277`: EarlyStopping
+        # min_delta 0.001 patience 1; ReduceLROnPlateau factor 0.5).
+        self._early_stopping_min_delta = early_stopping_min_delta
+        self._early_stopping_patience = early_stopping_patience
+        self._learning_rate_plateau_min_delta = learning_rate_plateau_min_delta
+        self._learning_rate_plateau_patience = learning_rate_plateau_patience
         self._checkpoint_dir = checkpoint_dir
         self._checkpoint_interval = max(1, checkpoint_interval)
         super().__init__(
@@ -130,12 +167,25 @@ class WalkBasedEmbedder(AbstractEmbeddingModel):
             "window_size": self._window_size,
             "return_weight": self._return_weight,
             "explore_weight": self._explore_weight,
+            "change_node_type_weight": self._change_node_type_weight,
+            "change_edge_type_weight": self._change_edge_type_weight,
             "max_neighbours": self._max_neighbours,
             "learning_rate": self._learning_rate,
             "learning_rate_decay": self._learning_rate_decay,
             "number_of_negative_samples": self._number_of_negative_samples,
             "use_scale_free_distribution": self._use_scale_free_distribution,
             "clipping_value": self._clipping_value,
+            "normalize_by_degree": self._normalize_by_degree,
+            "stochastic_downsample_by_degree":
+                self._stochastic_downsample_by_degree,
+            "normalize_learning_rate_by_degree":
+                self._normalize_learning_rate_by_degree,
+            "early_stopping_min_delta": self._early_stopping_min_delta,
+            "early_stopping_patience": self._early_stopping_patience,
+            "learning_rate_plateau_min_delta":
+                self._learning_rate_plateau_min_delta,
+            "learning_rate_plateau_patience":
+                self._learning_rate_plateau_patience,
         }
 
     @classmethod
@@ -156,19 +206,39 @@ class WalkBasedEmbedder(AbstractEmbeddingModel):
     def is_using_edge_weights(self) -> bool:
         return True
 
+    # Typed-walk capability contract, mirroring the reference exactly
+    # (`abstract_random_walked_based_embedder_model.py:147-158`):
+    # is_using_node_types ⇔ change_node_type_weight != 1.0, and likewise
+    # for edge types.
+    @classmethod
+    def can_use_node_types(cls) -> bool:
+        return True
+
+    def is_using_node_types(self) -> bool:
+        return self._change_node_type_weight != 1.0
+
+    @classmethod
+    def can_use_edge_types(cls) -> bool:
+        return True
+
+    def is_using_edge_types(self) -> bool:
+        return self._change_edge_type_weight != 1.0
+
     # ------------------------------------------------------- subclass surface
     def _init_params(self, graph: Graph, key: jnp.ndarray) -> Dict[str, jnp.ndarray]:
         raise NotImplementedError
 
-    def _gathered_grads(self, gather, walks, negs):
+    def _gathered_grads(self, gather, walks, negs, center_w=None):
         """(loss_sum, row_grads, neg_grads) for a slice of walks.
 
         `gather(table_name, idx)` returns the table rows for `idx` — plain
         indexing single-chip, psum-gather when tables are row-sharded.
         `row_grads` are per-walk-position gradients [b, L, ...] (one entry
         per table touched by walk rows), `neg_grads` are [K, ...] gradients
-        of the shared negatives. Implementing this hook (plus
-        `_apply_table_grads`) is what makes a model distributable."""
+        of the shared negatives. `center_w` ([b, L] or None) multiplies each
+        centre's pair losses (degree-conditioned SGD knobs). Implementing
+        this hook (plus `_apply_table_grads`) is what makes a model
+        distributable."""
         raise NotImplementedError
 
     def _apply_table_grads(
@@ -196,15 +266,51 @@ class WalkBasedEmbedder(AbstractEmbeddingModel):
     ) -> EmbeddingResult:
         raise NotImplementedError
 
+    def _post_process(self, table, graph: Graph):
+        """Extraction-time post-processing: `normalize_by_degree` divides
+        each node's embedding row by its degree (reference Rust trainer
+        flag, `node2vec_skipgram.py:27`)."""
+        table = np.asarray(table)
+        if self._normalize_by_degree:
+            deg = np.maximum(graph.degrees.astype(np.float32), 1.0)
+            table = table / deg[(...,) + (None,) * (table.ndim - 1)]
+        return table
+
     # ----------------------------------------------------------- training loop
+    def _walks_are_biased(self) -> bool:
+        """True when walks need per-candidate weighting (p/q and/or typed
+        factors) — these route through the ELL row-gather sampler."""
+        return (
+            self._return_weight != 1.0
+            or self._explore_weight != 1.0
+            or self._change_node_type_weight != 1.0
+            or self._change_edge_type_weight != 1.0
+        )
+
     def _ell_cap_for_walks(self):
-        """ELLPACK cap to build at `graph.device()` time: second-order (p/q)
-        walks route through the row-gather sampler
+        """ELLPACK cap to build at `graph.device()` time: biased (p/q or
+        typed) walks route through the row-gather sampler
         (`ops/walks.py::_second_order_step_ell`), which needs the capped
-        adjacency table; first-order walks don't."""
-        if self._return_weight == 1.0 and self._explore_weight == 1.0:
+        adjacency table; plain first-order walks don't."""
+        if not self._walks_are_biased():
             return None
         return self._max_neighbours or 100
+
+    def _device_graph(self, graph: Graph) -> DeviceGraph:
+        """Export the graph for this model's walk configuration: alias
+        tables on weighted graphs, ELL adjacency for biased walks (with a
+        random_state-seeded hub subsample), typed-slot tables when typed
+        factors are active."""
+        typed = (
+            self._change_node_type_weight != 1.0
+            or self._change_edge_type_weight != 1.0
+        )
+        return graph.device(
+            with_alias=graph.has_edge_weights,
+            ell_cap=self._ell_cap_for_walks(),
+            with_walk_types=typed,
+            ell_seed=self.random_state or 0,
+        )
 
     def _run_batch(self) -> int:
         """Walker batch in effect for the current run (set by
@@ -235,6 +341,8 @@ class WalkBasedEmbedder(AbstractEmbeddingModel):
             return_weight=self._return_weight,
             explore_weight=self._explore_weight,
             max_neighbours=self._max_neighbours,
+            change_node_type_weight=self._change_node_type_weight,
+            change_edge_type_weight=self._change_edge_type_weight,
         )
 
     def _sample_batch(
@@ -256,12 +364,41 @@ class WalkBasedEmbedder(AbstractEmbeddingModel):
             return_weight=self._return_weight,
             explore_weight=self._explore_weight,
             max_neighbours=self._max_neighbours,
+            change_node_type_weight=self._change_node_type_weight,
+            change_edge_type_weight=self._change_edge_type_weight,
         )
         negs = negative_nodes_for_nce(
             dg, k_neg, self._number_of_negative_samples,
             self._use_scale_free_distribution,
         )
         return walks, negs
+
+    def _center_weights(
+        self, dg: DeviceGraph, walks: jnp.ndarray, key: jnp.ndarray
+    ) -> Optional[jnp.ndarray]:
+        """[B, L] per-centre loss weight implementing the degree-conditioned
+        SGD knobs (see __init__ comment), or None when both are off. The
+        weight multiplies every pair loss whose CENTRE sits at that walk
+        position, which is exactly a per-pair learning rate in SGD."""
+        if not (
+            self._stochastic_downsample_by_degree
+            or self._normalize_learning_rate_by_degree
+        ):
+            return None
+        deg = jnp.maximum(dg.degrees[walks].astype(jnp.float32), 1.0)
+        w = jnp.ones(walks.shape, jnp.float32)
+        if self._normalize_learning_rate_by_degree:
+            mean_deg = max(dg.n_arcs / max(dg.n_nodes, 1), 1.0)
+            w = w * jnp.minimum(mean_deg / deg, 1.0)
+        if self._stochastic_downsample_by_degree:
+            keep_p = jnp.minimum(
+                jnp.sqrt(1e-3 * max(dg.n_arcs, 1) / deg), 1.0
+            )
+            keep = jax.random.uniform(
+                jax.random.fold_in(key, 0xD0DD), walks.shape
+            ) < keep_p
+            w = w * keep.astype(jnp.float32)
+        return w
 
     def _step(
         self,
@@ -275,11 +412,14 @@ class WalkBasedEmbedder(AbstractEmbeddingModel):
         implement the hooks override this directly."""
         batch = self._run_batch()
         walks, negs = self._sample_batch(dg, key, batch)
+        center_w = self._center_weights(dg, walks, key)
 
         def gather(name, idx):
             return params[name][idx]
 
-        loss, row_grads, neg_grads = self._gathered_grads(gather, walks, negs)
+        loss, row_grads, neg_grads = self._gathered_grads(
+            gather, walks, negs, center_w
+        )
         flat = walks.reshape(-1)
         row_flat = tuple(
             g.reshape((-1,) + g.shape[2:]) for g in row_grads
@@ -326,16 +466,20 @@ class WalkBasedEmbedder(AbstractEmbeddingModel):
             )
             def _run(dg_l, params_l, key_l, lr_l):
                 walks, negs = model._sample_batch(dg_l, key_l, batch_size)
+                center_w = model._center_weights(dg_l, walks, key_l)
                 i = jax.lax.axis_index(axis)
                 my_walks = jax.lax.dynamic_slice_in_dim(
                     walks, i * bp, bp, axis=0
+                )
+                my_cw = None if center_w is None else (
+                    jax.lax.dynamic_slice_in_dim(center_w, i * bp, bp, axis=0)
                 )
 
                 def gather(name, idx):
                     return params_l[name][idx]
 
                 loss, row_grads, neg_grads = model._gathered_grads(
-                    gather, my_walks, negs
+                    gather, my_walks, negs, my_cw
                 )
                 # Sparse exchange: concatenate per-device grad rows in axis
                 # order — matches walks.reshape(-1) element order exactly.
@@ -400,6 +544,7 @@ class WalkBasedEmbedder(AbstractEmbeddingModel):
             )
             def _run(dg_l, params_l, key_l, lr_l):
                 walks, negs = model._sample_batch(dg_l, key_l, batch_size)
+                center_w = model._center_weights(dg_l, walks, key_l)
 
                 def gather(name, idx):
                     table = params_l[name]
@@ -408,7 +553,7 @@ class WalkBasedEmbedder(AbstractEmbeddingModel):
                     return rows.reshape(idx.shape + table.shape[1:])
 
                 loss, row_grads, neg_grads = model._gathered_grads(
-                    gather, walks, negs
+                    gather, walks, negs, center_w
                 )
                 row_flat = tuple(
                     g.reshape((-1,) + g.shape[2:]) for g in row_grads
@@ -457,10 +602,7 @@ class WalkBasedEmbedder(AbstractEmbeddingModel):
     def _fit_transform(self, graph: Graph) -> EmbeddingResult:
         from ...parallel.mesh import resolve_mesh
 
-        dg = graph.device(
-            with_alias=graph.has_edge_weights,
-            ell_cap=self._ell_cap_for_walks(),
-        )
+        dg = self._device_graph(graph)
         key = jax.random.PRNGKey(self.random_state or 0)
         mesh = resolve_mesh(self._mesh)
         strategy = self._choose_distribution(mesh, graph)
@@ -517,6 +659,18 @@ class WalkBasedEmbedder(AbstractEmbeddingModel):
         # different run is ignored, and the file is deleted on completion —
         # otherwise a finished 34-node run would silently serve its embedding
         # to a later 100-node fit sharing the checkpoint_dir.
+        from ...utils.plateau import PlateauController
+
+        ctrl = PlateauController(
+            early_stopping_min_delta=self._early_stopping_min_delta,
+            early_stopping_patience=self._early_stopping_patience,
+            learning_rate_plateau_min_delta=(
+                self._learning_rate_plateau_min_delta
+            ),
+            learning_rate_plateau_patience=(
+                self._learning_rate_plateau_patience
+            ),
+        )
         ckpt_path = None
         ckpt_fp = None
         start_epoch = 0
@@ -549,7 +703,11 @@ class WalkBasedEmbedder(AbstractEmbeddingModel):
                 if checkpoint_matches(ckpt_path, ckpt_fp):
                     state = load_pytree(
                         ckpt_path,
-                        like={"params": params, "epoch": np.int64(0)},
+                        like={
+                            "params": params,
+                            "epoch": np.int64(0),
+                            "ctrl": ctrl.state_array(),
+                        },
                     )
                     params = jax.tree_util.tree_map(
                         jnp.asarray, state["params"]
@@ -557,6 +715,7 @@ class WalkBasedEmbedder(AbstractEmbeddingModel):
                     if place_fn is not None:
                         params = place_fn(params)
                     start_epoch = int(state["epoch"])
+                    ctrl.load_state_array(state["ctrl"])
                 else:
                     import warnings
 
@@ -578,32 +737,46 @@ class WalkBasedEmbedder(AbstractEmbeddingModel):
             params, losses = lax.scan(body, params, keys)
             return params, losses.mean()
 
+        # Per-epoch plateau control, default-on like the reference
+        # (`tensorflow_embedder.py:264-277`): the scanned epoch-mean loss is
+        # read host-side between epochs; LR picks up the plateau factor on
+        # top of the multiplicative decay, and training stops once the loss
+        # stalls for `early_stopping_patience` epochs.
         last_loss = None
         for epoch in range(start_epoch, self._epochs):
             lr = jnp.float32(
-                self._learning_rate * self._learning_rate_decay ** epoch
+                self._learning_rate
+                * self._learning_rate_decay ** epoch
+                * ctrl.lr_scale
             )
             params, last_loss = epoch_fn(
                 dg, params, jax.random.fold_in(key, epoch), lr
             )
+            stop = ctrl.update(float(last_loss))
             if (
                 ckpt_path is not None
                 and (epoch + 1) % self._checkpoint_interval == 0
                 and epoch + 1 < self._epochs
+                and not stop
             ):
                 save_pytree(
                     ckpt_path,
                     {
                         "params": jax.tree_util.tree_map(np.asarray, params),
                         "epoch": np.int64(epoch + 1),
+                        "ctrl": ctrl.state_array(),
                     },
                     fingerprint=ckpt_fp,
                 )
+            if stop:
+                ctrl.stopped_epoch = epoch
+                break
         if ckpt_path is not None:
             from ...utils.checkpoint import delete_checkpoint
 
             delete_checkpoint(ckpt_path)
         self._last_loss = None if last_loss is None else float(last_loss)
+        self._stopped_epoch = ctrl.stopped_epoch
         if strategy == "rows":
             # Trim the mesh-padding rows before extraction.
             n = graph.number_of_nodes
@@ -663,14 +836,15 @@ class SkipGram(WalkBasedEmbedder):
             "context_bias": jnp.zeros((n,), jnp.float32),
         }
 
-    def _gathered_grads(self, gather, walks, negs):
+    def _gathered_grads(self, gather, walks, negs, center_w=None):
         """Fused banded NCE gradients: each walk's embedding rows are
         gathered ONCE as [B, L, D] and every center×context window score is
         computed as one batched [L, D] @ [D, L] matmul on the MXU, masked to
         the window band — ~8x less HBM gather/scatter traffic than per-pair
         gathers, which is what the reference's per-pair NCE layer does
         (`noise_contrastive_estimation.py:8-93`). Loss semantics match
-        `nce_loss` over `skipgram_pairs` exactly."""
+        `nce_loss` over `skipgram_pairs` exactly. `center_w` [B, L] scales
+        each centre's pair losses (degree-conditioned SGD knobs)."""
         length = self._walk_length
         w = self._window_size
         pos = jnp.arange(length)
@@ -679,6 +853,14 @@ class SkipGram(WalkBasedEmbedder):
         band = (jnp.abs(off) <= w) & (off != 0)              # [L, L]
         pair_mask = (center_ok[:, None] & band).astype(jnp.float32)
         clip = self._clipping_value
+        if center_w is None:
+            pair_w = pair_mask[None]                          # [1, L, L]
+            neg_center_w = center_ok.astype(jnp.float32)[None, :, None]
+        else:
+            pair_w = pair_mask[None] * center_w[:, :, None]   # [B, L, L]
+            neg_center_w = (
+                center_ok.astype(jnp.float32)[None, :] * center_w
+            )[:, :, None]
 
         def loss_fn(w_rows, c_rows, b_rows, neg_emb, neg_b):
             # w_rows, c_rows: [B, L, D]; scores for all (center, context).
@@ -698,17 +880,14 @@ class SkipGram(WalkBasedEmbedder):
             ) + b_rows[:, None, :]
             scores = _st_clip(scores, clip)
             pos_loss = (
-                (jax.nn.softplus(scores) - scores / (2 * w)) * pair_mask[None]
+                (jax.nn.softplus(scores) - scores / (2 * w)) * pair_w
             ).sum()
             neg_scores = jnp.einsum(
                 "bld,kd->blk", w_rows, neg_emb,
                 preferred_element_type=jnp.float32,
             ) + neg_b[None, None, :]
             neg_scores = _st_clip(neg_scores, clip)
-            neg_loss = (
-                jax.nn.softplus(neg_scores)
-                * center_ok.astype(jnp.float32)[None, :, None]
-            ).sum()
+            neg_loss = (jax.nn.softplus(neg_scores) * neg_center_w).sum()
             return pos_loss + neg_loss
 
         w_rows = gather("node_embedding", walks)
@@ -750,8 +929,8 @@ class SkipGram(WalkBasedEmbedder):
         return EmbeddingResult(
             embedding_method_name=self.model_name(),
             node_embeddings=[
-                params["node_embedding"],
-                params["context_embedding"],
+                self._post_process(params["node_embedding"], graph),
+                self._post_process(params["context_embedding"], graph),
             ],
             node_names=graph.get_node_names(),
         )
@@ -779,11 +958,12 @@ class CBOW(WalkBasedEmbedder):
             "output_bias": jnp.zeros((n,), jnp.float32),
         }
 
-    def _gathered_grads(self, gather, walks, negs):
+    def _gathered_grads(self, gather, walks, negs, center_w=None):
         """Fused banded CBOW gradients: per-walk row gather [B, L, D], window
         mean via a constant banded averaging matrix on the MXU, sampled
         softmax against centre words + shared negatives (same HBM-traffic win
-        as the SkipGram step)."""
+        as the SkipGram step). `center_w` [B, L] scales each centre's loss
+        (degree-conditioned SGD knobs)."""
         length = self._walk_length
         w = self._window_size
         pos = jnp.arange(length)
@@ -792,6 +972,10 @@ class CBOW(WalkBasedEmbedder):
         band = ((jnp.abs(off) <= w) & (off != 0)).astype(jnp.float32)
         avg = band / (2 * w)                                  # [L, L]
         clip = self._clipping_value
+        per_center_w = (
+            center_ok[None, :] if center_w is None
+            else center_ok[None, :] * center_w
+        )
 
         def loss_fn(in_rows, out_rows, out_b, neg_emb, neg_b):
             # SUM over centres (per-example SGD semantics, as in the
@@ -811,7 +995,7 @@ class CBOW(WalkBasedEmbedder):
             )
             logits = _st_clip(logits, clip)
             per = -jax.nn.log_softmax(logits, axis=2)[..., 0]   # [B, L]
-            return (per * center_ok[None, :]).sum()
+            return (per * per_center_w).sum()
 
         in_rows = gather("node_embedding", walks)
         out_rows = gather("output_embedding", walks)
@@ -848,8 +1032,8 @@ class CBOW(WalkBasedEmbedder):
         return EmbeddingResult(
             embedding_method_name=self.model_name(),
             node_embeddings=[
-                params["node_embedding"],
-                params["output_embedding"],
+                self._post_process(params["node_embedding"], graph),
+                self._post_process(params["output_embedding"], graph),
             ],
             node_names=graph.get_node_names(),
         )

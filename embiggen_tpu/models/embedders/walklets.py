@@ -80,6 +80,8 @@ class _WalkletsBase(WalkBasedEmbedder):
             return_weight=self._return_weight,
             explore_weight=self._explore_weight,
             max_neighbours=self._max_neighbours,
+            change_node_type_weight=self._change_node_type_weight,
+            change_edge_type_weight=self._change_edge_type_weight,
         )
 
     def _extract(self, params, graph):
@@ -92,7 +94,10 @@ class _WalkletsBase(WalkBasedEmbedder):
         )
         return EmbeddingResult(
             embedding_method_name=self.model_name(),
-            node_embeddings=[node, ctx],
+            node_embeddings=[
+                self._post_process(node, graph),
+                self._post_process(ctx, graph),
+            ],
             node_names=graph.get_node_names(),
         )
 
@@ -213,10 +218,7 @@ class WalkletsGloVe(_WalkletsBase):
     def _fit_transform(self, graph: Graph) -> EmbeddingResult:
         from jax import lax
 
-        dg = graph.device(
-            with_alias=graph.has_edge_weights,
-            ell_cap=self._ell_cap_for_walks(),
-        )
+        dg = self._device_graph(graph)
         key = jax.random.PRNGKey(self.random_state or 0)
         n = graph.number_of_nodes
         starts = jnp.tile(jnp.arange(n, dtype=jnp.int32), self._iterations)
@@ -226,6 +228,8 @@ class WalkletsGloVe(_WalkletsBase):
                 return_weight=self._return_weight,
                 explore_weight=self._explore_weight,
                 max_neighbours=self._max_neighbours,
+                change_node_type_weight=self._change_node_type_weight,
+                change_edge_type_weight=self._change_edge_type_weight,
             )
         )
         params = self._init_params(graph, key)

@@ -56,6 +56,8 @@ def test_skipgram_perceptron_link_prediction_auprc(rgg):
             embedding_size=32, epochs=100, batch_size=256, walk_length=16,
             window_size=2, number_of_negative_samples=5,
             learning_rate_decay=0.99, random_state=0,
+            early_stopping_patience=10**6,
+            learning_rate_plateau_patience=10**6,
         ),
         evaluation_schema="Connected Monte Carlo",
         random_state=3,

@@ -127,15 +127,53 @@ def test_weighted_walks_use_alias(kgraph):
     assert frac_heavy > 0.95
 
 
-def test_max_neighbours_cap(kdev):
-    # With cap=1 every step goes to the first (lowest-id) neighbour.
-    key = jax.random.PRNGKey(5)
-    starts = jnp.arange(34)
-    walks = np.asarray(random_walks(kdev, starts, 3, key, max_neighbours=1))
-    g = karate_club()
-    for v in range(34):
-        first_nbr = g.neighbors(v)[0]
-        assert walks[v, 1] == first_nbr
+def test_max_neighbours_hub_reachability(kgraph):
+    """VERDICT r3 weak-point 4: capping must SUBSAMPLE, not truncate — every
+    hub neighbour must be reachable by capped walks. Checked for all three
+    sampler families on the max-degree karate node with cap 4 (<< its
+    degree 17)."""
+    hub = int(np.argmax(kgraph.degrees))
+    nbrs = set(kgraph.neighbors(hub).tolist())
+    starts = jnp.full((4000,), hub, jnp.int32)
+
+    # Exact sampler (per-step rotated window).
+    dev = kgraph.device()
+    w = np.asarray(random_walks(
+        dev, starts, 3, jax.random.PRNGKey(5), return_weight=2.0,
+        explore_weight=0.5, max_neighbours=4, exact_pq=True,
+    ))
+    assert set(w[:, 1].tolist()) == nbrs
+
+    # Rejection sampler (uncapped proposals).
+    w = np.asarray(random_walks(
+        dev, starts, 3, jax.random.PRNGKey(6), return_weight=2.0,
+        explore_weight=0.5, max_neighbours=4,
+    ))
+    assert set(w[:, 1].tolist()) == nbrs
+
+    # ELL sampler: the per-export subsample is seeded-uniform, so across
+    # exports every neighbour appears; one export covers `cap` of them.
+    seen = set()
+    for seed in range(30):
+        dev_ell = kgraph.device(ell_cap=4, ell_seed=seed)
+        row = set(np.asarray(dev_ell.ell_cols[hub]).tolist()) - {-1}
+        assert row <= nbrs and len(row) == 4
+        seen |= row
+    assert seen == nbrs
+
+
+def test_first_order_ignores_cap(kdev, kgraph):
+    """First-order sampling is O(1)/step, so max_neighbours is ignored and
+    the distribution stays uniform over the FULL neighbourhood."""
+    hub = int(np.argmax(kgraph.degrees))
+    starts = jnp.full((20000,), hub, jnp.int32)
+    walks = np.asarray(
+        random_walks(kdev, starts, 2, jax.random.PRNGKey(5), max_neighbours=2)
+    )
+    nbrs = kgraph.neighbors(hub)
+    counts = np.bincount(walks[:, 1], minlength=34)[nbrs]
+    freq = counts / counts.sum()
+    np.testing.assert_allclose(freq, 1 / len(nbrs), atol=0.01)
 
 
 def test_skipgram_pairs_layout():
@@ -233,7 +271,7 @@ def test_rejection_sampler_matches_exact_cdf(kdev, kgraph, rw, ew):
     exact = np.asarray(
         jax.jit(_second_order_step_exact, static_argnums=(4, 5, 6))(
             kdev, jax.random.PRNGKey(0), prev, curr, rw, ew, cap
-        )
+        )[0]
     )
     rej = np.asarray(
         jax.jit(_second_order_step_rejection, static_argnums=(4, 5, 6))(
@@ -277,11 +315,11 @@ def test_ell_sampler_matches_exact_cdf(kgraph, rw, ew):
     exact = np.asarray(
         jax.jit(_second_order_step_exact, static_argnums=(4, 5, 6))(
             dev, jax.random.PRNGKey(0), prev, curr, rw, ew, cap
-        )
+        )[0]
     )
-    ell, next_row = jax.jit(
-        _second_order_step_ell, static_argnums=(5, 6, 7)
-    )(dev, jax.random.PRNGKey(1), prev, prev_row, curr, rw, ew, cap)
+    ell, next_row, _ = jax.jit(
+        _second_order_step_ell, static_argnums=(6, 7, 8)
+    )(dev, jax.random.PRNGKey(1), prev, prev_row, curr, None, rw, ew, cap)
     ell = np.asarray(ell)
     # returned carry row is the gathered row of `curr`
     np.testing.assert_array_equal(
@@ -346,10 +384,10 @@ def test_ell_sampler_weighted(kgraph):
     exact = np.asarray(
         jax.jit(_second_order_step_exact, static_argnums=(4, 5, 6))(
             dev, jax.random.PRNGKey(0), prev, curr, 2.0, 0.5, 34
-        )
+        )[0]
     )
-    ell, _ = jax.jit(_second_order_step_ell, static_argnums=(5, 6, 7))(
-        dev, jax.random.PRNGKey(1), prev, prev_row, curr, 2.0, 0.5, 34
+    ell, _, _ = jax.jit(_second_order_step_ell, static_argnums=(6, 7, 8))(
+        dev, jax.random.PRNGKey(1), prev, prev_row, curr, None, 2.0, 0.5, 34
     )
     p_exact = np.bincount(exact, minlength=g.number_of_nodes) / n
     p_ell = np.bincount(np.asarray(ell), minlength=g.number_of_nodes) / n
@@ -382,7 +420,7 @@ def test_rejection_sampler_weighted(kgraph):
     exact = np.asarray(
         jax.jit(_second_order_step_exact, static_argnums=(4, 5, 6))(
             dev, jax.random.PRNGKey(0), prev, curr, 2.0, 0.5, 34
-        )
+        )[0]
     )
     rej = np.asarray(
         jax.jit(_second_order_step_rejection, static_argnums=(4, 5, 6))(
@@ -393,3 +431,151 @@ def test_rejection_sampler_weighted(kgraph):
     p_rej = np.bincount(rej, minlength=g.number_of_nodes) / n
     tv = 0.5 * np.abs(p_exact - p_rej).sum()
     assert tv < 0.03, tv
+
+
+# ---------------------------------------------------------------------------
+# Typed-walk biases (VERDICT r3 missing-item 1): change_node_type_weight /
+# change_edge_type_weight — reference surface
+# `abstract_random_walked_based_embedder_model.py:8-158`.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def typed_graph():
+    return erdos_renyi(
+        60, 400, seed=3, weighted=True, n_edge_types=3, n_node_types=4
+    )
+
+
+def _typed_expected(g, prev, curr, prev_et, rw, ew, cnt_w, cet_w):
+    """Exact typed p/q transition distribution, computed independently in
+    numpy from first principles."""
+    ntypes = g.get_single_label_node_type_ids()
+    s, e = g.row_ptr[curr], g.row_ptr[curr + 1]
+    cands = g.col_idx[s:e]
+    w = np.ones(len(cands), np.float64)
+    prev_nbrs = set(g.neighbors(prev).tolist())
+    for i, c in enumerate(cands):
+        if c == prev:
+            w[i] = rw
+        elif int(c) in prev_nbrs:
+            w[i] = 1.0
+        else:
+            w[i] = ew
+        if ntypes[c] != ntypes[curr]:
+            w[i] *= cnt_w
+        if prev_et >= 0 and g.edge_types[s + i] != prev_et:
+            w[i] *= cet_w
+        if g.weights is not None:
+            w[i] *= g.weights[s + i]
+    p = np.zeros(g.number_of_nodes)
+    np.add.at(p, cands, w / w.sum())
+    return p
+
+
+@pytest.mark.parametrize("cnt_w,cet_w", [(4.0, 1.0), (1.0, 0.2), (3.0, 0.5)])
+def test_typed_step_matches_exact_cdf(typed_graph, cnt_w, cet_w):
+    """Both typed production samplers (ELL row-gather and exact window)
+    match an independently computed typed CDF on a typed fixture."""
+    from embiggen_tpu.ops.walks import (
+        _second_order_step_ell,
+        _second_order_step_exact,
+    )
+
+    g = typed_graph
+    dev = g.device(
+        ell_cap=int(g.degrees.max()), with_walk_types=True, with_alias=True
+    )
+    assert dev.node_type_of is not None
+    assert dev.ell_ntypes is not None and dev.ell_etypes is not None
+    curr_node = int(np.argmax(g.degrees))
+    prev_node = int(g.neighbors(curr_node)[0])
+    prev_et_val = int(g.edge_types[g.row_ptr[prev_node]])
+    rw, ew = 2.0, 0.5
+    expected = _typed_expected(
+        g, prev_node, curr_node, prev_et_val, rw, ew, cnt_w, cet_w
+    )
+    n = 60_000
+    prev = jnp.full((n,), prev_node, jnp.int32)
+    curr = jnp.full((n,), curr_node, jnp.int32)
+    pet = jnp.full((n,), prev_et_val, jnp.int32)
+    prev_row = jnp.broadcast_to(dev.ell_cols[prev_node], (n, dev.ell_cap))
+
+    exact, _ = jax.jit(
+        _second_order_step_exact,
+        static_argnames=(
+            "return_weight", "explore_weight", "max_neighbours",
+            "change_node_type_weight", "change_edge_type_weight",
+            "with_edge_type",
+        ),
+    )(
+        dev, jax.random.PRNGKey(0), prev, curr,
+        return_weight=rw, explore_weight=ew,
+        max_neighbours=int(g.degrees.max()),
+        prev_et=pet, change_node_type_weight=cnt_w,
+        change_edge_type_weight=cet_w, with_edge_type=True,
+    )
+    p_exact = np.bincount(np.asarray(exact), minlength=g.number_of_nodes) / n
+    tv = 0.5 * np.abs(p_exact - expected).sum()
+    assert tv < 0.03, tv
+
+    ell, _, net = jax.jit(
+        _second_order_step_ell,
+        static_argnames=(
+            "return_weight", "explore_weight", "cap",
+            "change_node_type_weight", "change_edge_type_weight",
+        ),
+    )(
+        dev, jax.random.PRNGKey(1), prev, prev_row, curr, pet,
+        return_weight=rw, explore_weight=ew, cap=int(g.degrees.max()),
+        change_node_type_weight=cnt_w, change_edge_type_weight=cet_w,
+    )
+    p_ell = np.bincount(np.asarray(ell), minlength=g.number_of_nodes) / n
+    tv = 0.5 * np.abs(p_ell - expected).sum()
+    assert tv < 0.03, tv
+    # The returned edge type is the taken arc's type (produced only when
+    # the edge-type factor is active).
+    if cet_w != 1.0:
+        ell_np, net_np = np.asarray(ell), np.asarray(net)
+        for i in range(0, n, 9973):
+            s = g.row_ptr[curr_node]
+            row = g.col_idx[s:g.row_ptr[curr_node + 1]]
+            js = np.flatnonzero(row == ell_np[i])
+            assert net_np[i] in g.edge_types[s + js]
+
+
+def test_typed_walks_end_to_end(typed_graph):
+    """random_walks with typed weights: high change_node_type_weight makes
+    walks change node type more often than low, through BOTH the ELL and
+    the exact fallback paths; untyped graphs ignore the params."""
+    g = typed_graph
+    ntypes = g.get_single_label_node_type_ids()
+    starts = jnp.tile(jnp.arange(g.number_of_nodes, dtype=jnp.int32), 30)
+
+    def change_rate(dev, cnt_w, **kw):
+        w = np.asarray(random_walks(
+            dev, starts, 10, jax.random.PRNGKey(2),
+            change_node_type_weight=cnt_w, **kw,
+        ))
+        t = ntypes[w]
+        return (t[:, 1:] != t[:, :-1]).mean()
+
+    dev_ell = g.device(ell_cap=64, with_walk_types=True)
+    assert change_rate(dev_ell, 5.0) > change_rate(dev_ell, 0.1) + 0.1
+    dev_plain = g.device(with_walk_types=True)
+    assert change_rate(dev_plain, 5.0) > change_rate(dev_plain, 0.1) + 0.1
+    # With p/q biases on top, still runs and follows edges.
+    w = random_walks(
+        dev_ell, starts[:200], 8, jax.random.PRNGKey(3),
+        return_weight=2.0, explore_weight=0.5,
+        change_node_type_weight=2.0, change_edge_type_weight=0.5,
+    )
+    _walks_follow_edges(g, w[:50])
+    # Untyped export: typed params are inert (same walks as untyped call).
+    dev_untyped = g.device()
+    w_a = random_walks(
+        dev_untyped, starts[:100], 6, jax.random.PRNGKey(4),
+        change_node_type_weight=9.0,
+    )
+    w_b = random_walks(dev_untyped, starts[:100], 6, jax.random.PRNGKey(4))
+    np.testing.assert_array_equal(np.asarray(w_a), np.asarray(w_b))
