@@ -766,7 +766,9 @@ class Role2Vec(WalkBasedEmbedder):
             ) / np.sqrt(d),
         }
 
-    def _step(self, dg, params, key, lr):
+    def _sample_role_pairs(self, dg, key):
+        """(words [N], roles [N, 2w], neg_roles [N, K]) — replicated given
+        the same key, sliceable along the pair axis for data parallelism."""
         k_pairs, k_neg = jax.random.split(key)
         contexts, words = self._sample_pairs(dg, k_pairs)
         roles = self._roles[contexts]  # (N, 2w) role ids
@@ -775,24 +777,106 @@ class Role2Vec(WalkBasedEmbedder):
             (words.shape[0], self._number_of_negative_samples),
             0, self._n_roles, dtype=jnp.int32,
         )
+        return words, roles, neg_roles
+
+    def _pair_updates(self, params, words, roles, neg_roles, n_full):
+        """Update-protocol gradients for a slice of pairs; losses normalized
+        by the FULL pair count so slices sum to the single-chip step."""
+        from .minibatch import Update
+
         emb = params["node_embedding"]
         role = params["role_embedding"]
+        w = roles.shape[1]
+        k = neg_roles.shape[1]
 
         def loss_fn(w_rows, pos_rows, neg_rows):
             pos_logit = jnp.einsum("nd,nwd->nw", w_rows, pos_rows)
             neg_logit = jnp.einsum("nd,nkd->nk", w_rows, neg_rows)
             return (
-                jax.nn.softplus(-pos_logit).mean()
-                + jax.nn.softplus(neg_logit).mean()
+                jax.nn.softplus(-pos_logit).sum() / (n_full * w)
+                + jax.nn.softplus(neg_logit).sum() / (n_full * k)
             )
 
         loss, grads = jax.value_and_grad(loss_fn, argnums=(0, 1, 2))(
             emb[words], role[roles], role[neg_roles]
         )
-        params["node_embedding"] = emb.at[words].add(-lr * grads[0])
-        role = role.at[roles].add(-lr * grads[1])
-        params["role_embedding"] = role.at[neg_roles].add(-lr * grads[2])
-        return params, loss
+        d = emb.shape[1]
+        return loss, [
+            Update("node_embedding", words, grads[0], "add"),
+            Update(
+                "role_embedding", roles.reshape(-1),
+                grads[1].reshape(-1, d), "add",
+            ),
+            Update(
+                "role_embedding", neg_roles.reshape(-1),
+                grads[2].reshape(-1, d), "add",
+            ),
+        ]
+
+    @classmethod
+    def supports_distribution(cls) -> bool:
+        return True
+
+    def _choose_distribution(self, mesh, graph) -> str:
+        strategy = super()._choose_distribution(mesh, graph)
+        # Role tables don't follow the node-row sharding scheme.
+        return "data" if strategy == "rows" else strategy
+
+    def _step(self, dg, params, key, lr):
+        from .minibatch import apply_updates
+
+        words, roles, neg_roles = self._sample_role_pairs(dg, key)
+        loss, updates = self._pair_updates(
+            params, words, roles, neg_roles, words.shape[0]
+        )
+        return apply_updates(params, updates, lr), loss
+
+    def _make_dp_step(self, mesh, batch_size: int):
+        import functools
+
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        from .minibatch import apply_updates, gather_updates
+
+        axis = mesh.axis_names[0]
+        p = int(mesh.devices.size)
+        n_pairs = (
+            batch_size * self._iterations
+            * (self._walk_length - 2 * self._window_size)
+        )
+        assert n_pairs % p == 0, (n_pairs, p)
+        bp = n_pairs // p
+        model = self
+
+        def step_outer(dg, params, key, lr):
+            dg_spec = jax.tree_util.tree_map(lambda _: P(), dg)
+            param_specs = jax.tree_util.tree_map(lambda _: P(), params)
+
+            @functools.partial(
+                shard_map, mesh=mesh,
+                in_specs=(dg_spec, param_specs, P(), P()),
+                out_specs=(param_specs, P()), check_vma=False,
+            )
+            def _run(dg_l, params_l, key_l, lr_l):
+                words, roles, neg_roles = model._sample_role_pairs(
+                    dg_l, key_l
+                )
+                i = jax.lax.axis_index(axis)
+                sl = lambda a: jax.lax.dynamic_slice_in_dim(
+                    a, i * bp, bp, 0
+                )
+                loss, updates = model._pair_updates(
+                    params_l, sl(words), sl(roles), sl(neg_roles), n_pairs
+                )
+                params_l = apply_updates(
+                    params_l, gather_updates(updates, axis), lr_l
+                )
+                return params_l, jax.lax.psum(loss, axis)
+
+            return _run(dg, params, key, lr)
+
+        return step_outer
 
     def _extract(self, params, graph):
         return EmbeddingResult(

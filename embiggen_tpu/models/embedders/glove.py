@@ -6,26 +6,27 @@ True GloVe algorithm: (1) walks are generated on device, (2) windowed
 co-occurrence counts are accumulated (sparse, via sorted-key reduction),
 (3) the weighted-least-squares objective f(X)(wᵢ·cⱼ + bᵢ + bⱼ − log Xᵢⱼ)²
 is minimized with minibatched SGD on device over the non-zero entries.
+Built on the shared `MinibatchEmbedder` skeleton, so `mesh=` data-parallel
+training and the plateau callbacks come from the base (VERDICT r3 items
+1 & 5); the sliceable batch is the gathered (i, j, f, log X) entry values.
 """
 from __future__ import annotations
 
-import functools
 from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax import lax
 
 from ...graph.graph import Graph
-from ...ops.walks import random_walks, skipgram_pairs
-from ..abstract import AbstractEmbeddingModel
+from ...ops.walks import random_walks
 from ..embedding_result import EmbeddingResult
 from ..registry import register_model
+from .minibatch import MinibatchEmbedder, Update
 
 
 @register_model
-class GloVe(AbstractEmbeddingModel):
+class GloVe(MinibatchEmbedder):
     def __init__(
         self,
         embedding_size: int = 100,
@@ -43,10 +44,8 @@ class GloVe(AbstractEmbeddingModel):
         alpha: float = 0.75,
         x_max: float = 100.0,
         batch_size: int = 65536,
-        random_state: int = 42,
-        enable_cache: bool = False,
+        **kwargs,
     ):
-        self._epochs = epochs
         self._walk_length = walk_length
         self._iterations = iterations
         self._window_size = window_size
@@ -55,14 +54,15 @@ class GloVe(AbstractEmbeddingModel):
         self._change_node_type_weight = change_node_type_weight
         self._change_edge_type_weight = change_edge_type_weight
         self._max_neighbours = max_neighbours
-        self._learning_rate = learning_rate
-        self._learning_rate_decay = learning_rate_decay
         self._alpha = alpha
         self._x_max = x_max
-        self._batch_size = batch_size
         super().__init__(
-            embedding_size=embedding_size, enable_cache=enable_cache,
-            random_state=random_state,
+            embedding_size=embedding_size,
+            epochs=epochs,
+            batch_size=batch_size,
+            learning_rate=learning_rate,
+            learning_rate_decay=learning_rate_decay,
+            **kwargs,
         )
 
     @classmethod
@@ -72,7 +72,6 @@ class GloVe(AbstractEmbeddingModel):
     def parameters(self) -> Dict[str, Any]:
         return {
             **super().parameters(),
-            "epochs": self._epochs,
             "walk_length": self._walk_length,
             "iterations": self._iterations,
             "window_size": self._window_size,
@@ -81,11 +80,8 @@ class GloVe(AbstractEmbeddingModel):
             "change_node_type_weight": self._change_node_type_weight,
             "change_edge_type_weight": self._change_edge_type_weight,
             "max_neighbours": self._max_neighbours,
-            "learning_rate": self._learning_rate,
-            "learning_rate_decay": self._learning_rate_decay,
             "alpha": self._alpha,
             "x_max": self._x_max,
-            "batch_size": self._batch_size,
         }
 
     @classmethod
@@ -151,12 +147,25 @@ class GloVe(AbstractEmbeddingModel):
         keep = centers != contexts
         return centers[keep], contexts[keep], sums[keep].astype(np.float32)
 
-    def _fit_transform(self, graph: Graph) -> EmbeddingResult:
+    # ------------------------------------------------------- minibatch hooks
+    def _prepare_data(self, graph: Graph):
         centers, contexts, counts = self._cooccurrences(graph)
+        self._n_entries = len(centers)
+        return {
+            "ci": jnp.asarray(centers),
+            "cj": jnp.asarray(contexts),
+            "log_x": jnp.asarray(np.log(np.maximum(counts, 1e-9))),
+            "f_x": jnp.asarray(
+                np.minimum(1.0, (counts / self._x_max) ** self._alpha).astype(
+                    np.float32
+                )
+            ),
+        }
+
+    def _init_params(self, graph: Graph, key):
         n, d = graph.number_of_nodes, self.embedding_size
-        key = jax.random.PRNGKey(self.random_state or 0)
         k1, k2 = jax.random.split(key)
-        params = {
+        return {
             "node_embedding": jax.random.normal(k1, (n, d), jnp.float32)
             / np.sqrt(d),
             "context_embedding": jax.random.normal(k2, (n, d), jnp.float32)
@@ -164,69 +173,49 @@ class GloVe(AbstractEmbeddingModel):
             "center_bias": jnp.zeros((n,), jnp.float32),
             "context_bias": jnp.zeros((n,), jnp.float32),
         }
-        n_entries = len(centers)
-        ci = jnp.asarray(centers)
-        cj = jnp.asarray(contexts)
-        log_x = jnp.asarray(np.log(np.maximum(counts, 1e-9)))
-        f_x = jnp.asarray(
-            np.minimum(1.0, (counts / self._x_max) ** self._alpha).astype(
-                np.float32
-            )
+
+    def _resolve_batch_size(self, graph: Graph, ctx) -> int:
+        return int(min(self._batch_size or 65536, self._n_entries))
+
+    def _steps_per_epoch(self, graph: Graph, ctx, batch: int) -> int:
+        return max(1, self._n_entries // batch)
+
+    def _sample_batch(self, ctx, key, batch_size: int):
+        idx = jax.random.randint(key, (batch_size,), 0, self._n_entries)
+        return (
+            ctx["ci"][idx], ctx["cj"][idx], ctx["f_x"][idx],
+            ctx["log_x"][idx],
+        ), ()
+
+    def _batch_updates(self, params, batch, full_batch):
+        (i, j, f_x, log_x), _ = batch
+
+        def loss_fn(w, c, bw, bc):
+            pred = jnp.sum(w * c, axis=1) + bw + bc
+            # Mean over the FULL batch (per-slice grads sum to single-chip).
+            return (f_x * (pred - log_x) ** 2).sum() / full_batch
+
+        loss, (gw, gc, gbw, gbc) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1, 2, 3)
+        )(
+            params["node_embedding"][i],
+            params["context_embedding"][j],
+            params["center_bias"][i],
+            params["context_bias"][j],
         )
-        batch = min(self._batch_size, n_entries)
-        steps = max(1, n_entries // batch)
+        return loss * full_batch, [
+            Update("node_embedding", i, gw, "add"),
+            Update("context_embedding", j, gc, "add"),
+            Update("center_bias", i, gbw, "add"),
+            Update("context_bias", j, gbc, "add"),
+        ]
 
-        # Co-occurrence arrays ride the jit ARGUMENT path — closed-over jax
-        # arrays lower as inline HLO constants (GBs at large-graph entry
-        # counts, which stalls/kills remote compile backends).
-        @functools.partial(jax.jit, donate_argnums=0)
-        def epoch_fn(params, epoch_key, lr, ci, cj, f_x, log_x):
-            def body(params, k):
-                idx = jax.random.randint(k, (batch,), 0, n_entries)
-                i, j = ci[idx], cj[idx]
-
-                def loss_fn(w, c, bw, bc):
-                    pred = jnp.sum(w * c, axis=1) + bw + bc
-                    return (f_x[idx] * (pred - log_x[idx]) ** 2).mean()
-
-                loss, (gw, gc, gbw, gbc) = jax.value_and_grad(
-                    loss_fn, argnums=(0, 1, 2, 3)
-                )(
-                    params["node_embedding"][i],
-                    params["context_embedding"][j],
-                    params["center_bias"][i],
-                    params["context_bias"][j],
-                )
-                params = {
-                    "node_embedding": params["node_embedding"].at[i].add(
-                        -lr * gw
-                    ),
-                    "context_embedding": params["context_embedding"].at[j].add(
-                        -lr * gc
-                    ),
-                    "center_bias": params["center_bias"].at[i].add(-lr * gbw),
-                    "context_bias": params["context_bias"].at[j].add(-lr * gbc),
-                }
-                return params, loss
-
-            params, losses = lax.scan(
-                body, params, jax.random.split(epoch_key, steps)
-            )
-            return params, losses.mean()
-
-        last = None
-        for epoch in range(self._epochs):
-            lr = jnp.float32(
-                self._learning_rate * self._learning_rate_decay ** epoch
-            )
-            params, last = epoch_fn(
-                params, jax.random.fold_in(key, epoch), lr, ci, cj, f_x, log_x
-            )
-        self._last_loss = None if last is None else float(last)
+    def _extract(self, params, graph):
         return EmbeddingResult(
             embedding_method_name=self.model_name(),
             node_embeddings=[
-                params["node_embedding"], params["context_embedding"]
+                np.asarray(params["node_embedding"]),
+                np.asarray(params["context_embedding"]),
             ],
             node_names=graph.get_node_names(),
         )

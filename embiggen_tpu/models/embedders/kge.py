@@ -23,7 +23,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from ...graph.graph import Graph
-from ...ops.losses import margin_loss
 from ..embedding_result import EmbeddingResult
 from ..registry import register_model
 from .siamese import SiameseEmbedder
@@ -34,22 +33,15 @@ def _normal(key, shape, scale):
 
 
 class KGEModel(SiameseEmbedder):
-    """Generic triple-scoring skeleton.
+    """Generic triple-scoring skeleton — the declarative ENTITY/REL/GLOBAL
+    table scheme plus `_distance` / `_triple_distance` scoring now lives in
+    `SiameseEmbedder` (siamese.py), so every KGE model inherits `mesh=`
+    data-parallel training and the plateau callbacks from the shared
+    `MinibatchEmbedder` base. This class adds the KGE-wide defaults:
+    edge types required, embedding-dimension divisibility for
+    complex/quaternion/block models."""
 
-    Concrete models declare their parameter tables via three class lists
-    and implement `_distance(h, t, rel, glob)` (or override
-    `_triple_distance` when head/tail need more than one entity table):
-
-    - ENTITY_KEYS: per-node tables, gathered at the 4 batch index sets and
-      updated with scatter-adds (the sparse/hot path);
-    - REL_KEYS: per-edge-type tables, gathered at the batch's type ids;
-    - GLOBAL_KEYS: dense parameters (MLP weights, conv filters, cores)
-      updated with plain SGD.
-    """
-
-    ENTITY_KEYS = ("node_embedding",)
     REL_KEYS = ("edge_type_embedding",)
-    GLOBAL_KEYS = ()
     # embedding_size must be divisible by this (complex/quaternion/block
     # models).
     DIM_MULTIPLE = 1
@@ -66,93 +58,9 @@ class KGEModel(SiameseEmbedder):
     def requires_edge_types(cls) -> bool:
         return True
 
-    def _uses_edge_types(self) -> bool:
-        return True
-
     @classmethod
     def smoke_test_parameters(cls) -> Dict[str, Any]:
         return {"embedding_size": 8, "epochs": 2, "batch_size": 64}
-
-    # --- parameter construction ------------------------------------------
-    def _init_entity_tables(self, graph: Graph, key) -> Dict[str, Any]:
-        n, d = graph.number_of_nodes, self.embedding_size
-        return {"node_embedding": _normal(key, (n, d), 1 / np.sqrt(d))}
-
-    def _init_relation_tables(self, graph: Graph, key) -> Dict[str, Any]:
-        r = max(graph.number_of_edge_types, 1)
-        d = self.embedding_size
-        return {"edge_type_embedding": _normal(key, (r, d), 1 / np.sqrt(d))}
-
-    def _init_global_tables(self, graph: Graph, key) -> Dict[str, Any]:
-        return {}
-
-    def _init_params(self, graph: Graph, key):
-        k1, k2, k3 = jax.random.split(key, 3)
-        params = {
-            **self._init_entity_tables(graph, k1),
-            **self._init_relation_tables(graph, k2),
-            **self._init_global_tables(graph, k3),
-        }
-        expected = (
-            set(self.ENTITY_KEYS) | set(self.REL_KEYS)
-            | set(self.GLOBAL_KEYS)
-        )
-        assert set(params) == expected, (set(params), expected)
-        return params
-
-    # --- scoring ----------------------------------------------------------
-    def _distance(self, h, t, rel, glob):
-        """Distance for the common single-entity-table case. h/t: (B, d)."""
-        raise NotImplementedError
-
-    def _triple_distance(self, h_dict, t_dict, rel, glob):
-        return self._distance(
-            h_dict["node_embedding"], t_dict["node_embedding"], rel, glob
-        )
-
-    # --- the fused training step -------------------------------------------
-    def _step(self, dg, params, key, lr):
-        src, dst, csrc, cdst, etype = self._sample(dg, key)
-        idx = jnp.stack([src, dst, csrc, cdst])  # (4, B)
-        ent = {n: params[n][idx] for n in self.ENTITY_KEYS}
-        rel = {n: params[n][etype] for n in self.REL_KEYS}
-        glob = {n: params[n] for n in self.GLOBAL_KEYS}
-        bias = self._relu_bias
-
-        def loss_fn(ent, rel, glob):
-            row = lambda i: {n: v[i] for n, v in ent.items()}
-            pos = self._triple_distance(row(0), row(1), rel, glob)
-            neg = self._triple_distance(row(2), row(3), rel, glob)
-            return margin_loss(pos, neg, bias)
-
-        loss, (g_ent, g_rel, g_glob) = jax.value_and_grad(
-            loss_fn, argnums=(0, 1, 2)
-        )(ent, rel, glob)
-        for n in self.ENTITY_KEYS:
-            params[n] = params[n].at[idx].add(-lr * g_ent[n])
-        for n in self.REL_KEYS:
-            params[n] = params[n].at[etype].add(-lr * g_rel[n])
-        for n in self.GLOBAL_KEYS:
-            params[n] = params[n] - lr * g_glob[n]
-        return params, loss
-
-    # --- extraction ---------------------------------------------------------
-    # Relation tables exported as edge-type embeddings (vectors only).
-    EXTRACT_REL = ("edge_type_embedding",)
-
-    def _extract(self, params, graph):
-        return EmbeddingResult(
-            embedding_method_name=self.model_name(),
-            node_embeddings=[
-                np.asarray(params[n]) for n in self.ENTITY_KEYS
-            ],
-            edge_type_embeddings=[
-                np.asarray(params[n])
-                for n in self.EXTRACT_REL
-                if n in params
-            ],
-            node_names=graph.get_node_names(),
-        )
 
 
 # ---------------------------------------------------------------------------
@@ -863,8 +771,10 @@ class NodePiece(KGEModel):
             pooled @ glob["encoder_weight"] + glob["encoder_bias"]
         )
 
-    def _step(self, dg, params, key, lr):
-        src, dst, csrc, cdst, etype = self._sample(dg, key)
+    def _batch_updates(self, params, batch, full_batch):
+        from .minibatch import Update
+
+        (src, dst, csrc, cdst, etype), _ = batch
         rel = {"edge_type_embedding": params["edge_type_embedding"][etype]}
         glob = {n: params[n] for n in self.GLOBAL_KEYS}
         bias = self._relu_bias
@@ -876,17 +786,21 @@ class NodePiece(KGEModel):
                 * self._encode(b, glob),
                 axis=-1,
             )
-            return margin_loss(score(src, dst), score(csrc, cdst), bias)
+            margin = jnp.maximum(
+                bias + score(src, dst) - score(csrc, cdst), 0.0
+            )
+            return margin.sum() / full_batch
 
         loss, (g_rel, g_glob) = jax.value_and_grad(
             loss_fn, argnums=(0, 1)
         )(rel, glob)
-        params["edge_type_embedding"] = params["edge_type_embedding"].at[
-            etype
-        ].add(-lr * g_rel["edge_type_embedding"])
-        for n in self.GLOBAL_KEYS:
-            params[n] = params[n] - lr * g_glob[n]
-        return params, loss
+        updates = [
+            Update(
+                "edge_type_embedding", etype,
+                g_rel["edge_type_embedding"], "add",
+            )
+        ] + [Update(n, None, g_glob[n], "dense") for n in self.GLOBAL_KEYS]
+        return loss * full_batch, updates
 
     def _extract(self, params, graph):
         # Materialize encoded node embeddings once at the end.

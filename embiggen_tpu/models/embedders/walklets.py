@@ -5,9 +5,17 @@
 For each power p in 1..P, training pairs are walk positions exactly p apart
 (capturing the p-hop scale); each power trains its own table of width
 embedding_size // P and the result concatenates the scales.
+
+Distribution (VERDICT r3 item 1): the SkipGram/CBOW variants express their
+per-power sparse updates through the `minibatch.Update` protocol, so
+`mesh=` runs the data-parallel step (walk slices per device, all-gathered
+sparse payloads). The stacked [P, N, sub] tables shard per-POWER on axis 0,
+not per-row, so the walk-embedder row-sharded strategy does not apply —
+`distribution="rows"` falls back to data parallelism with a warning.
 """
 from __future__ import annotations
 
+import functools
 from typing import Any, Dict, Tuple
 
 import jax
@@ -20,6 +28,7 @@ from ...ops.negatives import negative_nodes_for_nce
 from ...ops.walks import random_walks
 from ..embedding_result import EmbeddingResult
 from ..registry import register_model
+from .minibatch import Update, apply_updates, gather_updates
 from .walk_based import WalkBasedEmbedder
 
 
@@ -84,6 +93,90 @@ class _WalkletsBase(WalkBasedEmbedder):
             change_edge_type_weight=self._change_edge_type_weight,
         )
 
+    def _sample_walklets(self, dg: DeviceGraph, key):
+        k_walk, k_neg = jax.random.split(key)
+        walks = self._walks(dg, k_walk)
+        negs = negative_nodes_for_nce(
+            dg, k_neg, self._number_of_negative_samples,
+            self._use_scale_free_distribution,
+        )
+        return walks, negs
+
+    # ------------------------------------------------------ update protocol
+    def _walklet_updates(self, params, walks, negs, full_walkers):
+        """(loss, updates) over a slice of walks. Per-power losses are
+        normalized by the FULL pair count so per-slice gradients sum to the
+        single-chip gradients; `loss` psums to the mean-over-pairs summed
+        over powers (divide by power for the reported value)."""
+        raise NotImplementedError
+
+    @classmethod
+    def supports_distribution(cls) -> bool:
+        return (
+            cls._walklet_updates is not _WalkletsBase._walklet_updates
+        )
+
+    def _choose_distribution(self, mesh, graph: Graph) -> str:
+        strategy = super()._choose_distribution(mesh, graph)
+        if strategy == "rows":
+            import warnings
+
+            warnings.warn(
+                "Walklets tables are stacked per-power; the row-sharded "
+                "strategy does not apply — using data parallelism."
+            )
+            return "data"
+        return strategy
+
+    def _step(self, dg, params, key, lr):
+        walks, negs = self._sample_walklets(dg, key)
+        loss, updates = self._walklet_updates(
+            params, walks, negs, walks.shape[0]
+        )
+        params = apply_updates(params, updates, lr)
+        return params, loss / self._power
+
+    def _make_dp_step(self, mesh, batch_size: int):
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        axis = mesh.axis_names[0]
+        p = int(mesh.devices.size)
+        n_walkers = batch_size * self._iterations
+        assert n_walkers % p == 0, (n_walkers, p)
+        bp = n_walkers // p
+        model = self
+
+        def step(dg, params, key, lr):
+            dg_spec = jax.tree_util.tree_map(lambda _: P(), dg)
+            param_specs = jax.tree_util.tree_map(lambda _: P(), params)
+
+            @functools.partial(
+                shard_map,
+                mesh=mesh,
+                in_specs=(dg_spec, param_specs, P(), P()),
+                out_specs=(param_specs, P()),
+                check_vma=False,
+            )
+            def _run(dg_l, params_l, key_l, lr_l):
+                walks, negs = model._sample_walklets(dg_l, key_l)
+                i = jax.lax.axis_index(axis)
+                my_walks = jax.lax.dynamic_slice_in_dim(
+                    walks, i * bp, bp, axis=0
+                )
+                loss, updates = model._walklet_updates(
+                    params_l, my_walks, negs, n_walkers
+                )
+                params_l = apply_updates(
+                    params_l, gather_updates(updates, axis), lr_l
+                )
+                return params_l, jax.lax.psum(loss, axis)
+
+            params, loss = _run(dg, params, key, lr)
+            return params, loss / self._power
+
+        return step
+
     def _extract(self, params, graph):
         p, n, sub = params["node_embedding"].shape
         node = np.asarray(params["node_embedding"]).transpose(1, 0, 2).reshape(
@@ -108,44 +201,36 @@ class WalkletsSkipGram(_WalkletsBase):
     def model_name(cls) -> str:
         return "Walklets SkipGram"
 
-    def _step(self, dg, params, key, lr):
-        k_walk, k_neg = jax.random.split(key)
-        walks = self._walks(dg, k_walk)
-        negs = negative_nodes_for_nce(
-            dg, k_neg, self._number_of_negative_samples,
-            self._use_scale_free_distribution,
-        )
+    def _walklet_updates(self, params, walks, negs, full_walkers):
         total = 0.0
-        sub = self.embedding_size // self._power
+        updates = []
+        length = walks.shape[1]
         for p_idx in range(self._power):
-            words, contexts = self._stride_pairs(walks, p_idx + 1)
+            stride = p_idx + 1
+            words, contexts = self._stride_pairs(walks, stride)
+            n_full = 2 * full_walkers * (length - stride)
             emb = params["node_embedding"][p_idx]
             ctx = params["context_embedding"][p_idx]
             bias = params["context_bias"][p_idx]
 
             def loss_fn(w, c, pb, nc, nb):
-                return L.nce_loss(w, c[:, None, :], pb[:, None], nc, nb)
+                return L.nce_loss_per_sample(
+                    w, c[:, None, :], pb[:, None], nc, nb
+                ).sum() / n_full
 
             loss, grads = jax.value_and_grad(loss_fn, argnums=(0, 1, 2, 3, 4))(
                 emb[words], ctx[contexts], bias[contexts], ctx[negs], bias[negs]
             )
             g_w, g_c, g_pb, g_nc, g_nb = grads
-            params["node_embedding"] = (
-                params["node_embedding"]
-                .at[p_idx, words].add(-lr * g_w)
-            )
-            params["context_embedding"] = (
-                params["context_embedding"]
-                .at[p_idx, contexts].add(-lr * g_c)
-                .at[p_idx, negs].add(-lr * g_nc)
-            )
-            params["context_bias"] = (
-                params["context_bias"]
-                .at[p_idx, contexts].add(-lr * g_pb)
-                .at[p_idx, negs].add(-lr * g_nb)
-            )
+            updates += [
+                Update("node_embedding", (p_idx, words), g_w, "add"),
+                Update("context_embedding", (p_idx, contexts), g_c, "add"),
+                Update("context_embedding", (p_idx, negs), g_nc, "add"),
+                Update("context_bias", (p_idx, contexts), g_pb, "add"),
+                Update("context_bias", (p_idx, negs), g_nb, "add"),
+            ]
             total = total + loss
-        return params, total / self._power
+        return total, updates
 
 
 @register_model
@@ -157,49 +242,44 @@ class WalkletsCBOW(_WalkletsBase):
     def model_name(cls) -> str:
         return "Walklets CBOW"
 
-    def _step(self, dg, params, key, lr):
-        k_walk, k_neg = jax.random.split(key)
-        walks = self._walks(dg, k_walk)
-        negs = negative_nodes_for_nce(
-            dg, k_neg, self._number_of_negative_samples,
-            self._use_scale_free_distribution,
-        )
+    def _walklet_updates(self, params, walks, negs, full_walkers):
         total = 0.0
+        updates = []
+        length = walks.shape[1]
         for p_idx in range(self._power):
-            words, contexts = self._stride_pairs(walks, p_idx + 1)
+            stride = p_idx + 1
+            words, contexts = self._stride_pairs(walks, stride)
+            n_full = 2 * full_walkers * (length - stride)
             emb = params["node_embedding"][p_idx]
             out = params["context_embedding"][p_idx]
             bias = params["context_bias"][p_idx]
 
             def loss_fn(c_emb, t_emb, t_b, n_emb, n_b):
-                return L.sampled_softmax_loss(c_emb, t_emb, t_b, n_emb, n_b)
+                return L.sampled_softmax_loss_per_sample(
+                    c_emb, t_emb, t_b, n_emb, n_b
+                ).sum() / n_full
 
             loss, grads = jax.value_and_grad(loss_fn, argnums=(0, 1, 2, 3, 4))(
                 emb[contexts], out[words], bias[words], out[negs], bias[negs]
             )
             g_c, g_t, g_tb, g_n, g_nb = grads
-            params["node_embedding"] = (
-                params["node_embedding"].at[p_idx, contexts].add(-lr * g_c)
-            )
-            params["context_embedding"] = (
-                params["context_embedding"]
-                .at[p_idx, words].add(-lr * g_t)
-                .at[p_idx, negs].add(-lr * g_n)
-            )
-            params["context_bias"] = (
-                params["context_bias"]
-                .at[p_idx, words].add(-lr * g_tb)
-                .at[p_idx, negs].add(-lr * g_nb)
-            )
+            updates += [
+                Update("node_embedding", (p_idx, contexts), g_c, "add"),
+                Update("context_embedding", (p_idx, words), g_t, "add"),
+                Update("context_embedding", (p_idx, negs), g_n, "add"),
+                Update("context_bias", (p_idx, words), g_tb, "add"),
+                Update("context_bias", (p_idx, negs), g_nb, "add"),
+            ]
             total = total + loss
-        return params, total / self._power
+        return total, updates
 
 
 @register_model
 class WalkletsGloVe(_WalkletsBase):
     """True GloVe WLS per scale: exact-stride co-occurrence counts are
     accumulated once from a walk corpus, then each power's table minimizes
-    f(X)(w·c + b_w + b_c − log X)² over its own non-zero entries."""
+    f(X)(w·c + b_w + b_c − log X)² over its own non-zero entries. With
+    `mesh=`, each power's SGD loop runs data-parallel over entry slices."""
 
     def __init__(self, alpha: float = 0.75, x_max: float = 100.0, **kwargs):
         self._alpha = alpha
@@ -215,8 +295,14 @@ class WalkletsGloVe(_WalkletsBase):
     def model_name(cls) -> str:
         return "Walklets GloVe"
 
+    @classmethod
+    def supports_distribution(cls) -> bool:
+        return True
+
     def _fit_transform(self, graph: Graph) -> EmbeddingResult:
         from jax import lax
+
+        from ...parallel.mesh import resolve_mesh
 
         dg = self._device_graph(graph)
         key = jax.random.PRNGKey(self.random_state or 0)
@@ -232,8 +318,9 @@ class WalkletsGloVe(_WalkletsBase):
                 change_edge_type_weight=self._change_edge_type_weight,
             )
         )
+        mesh = resolve_mesh(self._mesh)
+        strategy = self._choose_distribution(mesh, graph)
         params = self._init_params(graph, key)
-        sub = self.embedding_size // self._power
         last = None
         for p_idx in range(self._power):
             stride = p_idx + 1
@@ -254,58 +341,118 @@ class WalkletsGloVe(_WalkletsBase):
                 np.minimum(1.0, (counts / self._x_max) ** self._alpha)
             )
             n_entries = len(counts)
-            batch = min(4096, n_entries)
-            steps = max(1, n_entries // batch)
+            batch = min(self._batch_size or 4096, n_entries)
+            state = {
+                "emb": params["node_embedding"][p_idx],
+                "ctx": params["context_embedding"][p_idx],
+                "bw": params["context_bias"][p_idx],
+                "bc": jnp.zeros_like(params["context_bias"][p_idx]),
+            }
 
-            emb = params["node_embedding"][p_idx]
-            ctx = params["context_embedding"][p_idx]
-            bw_t = params["context_bias"][p_idx]
-            bc_t = jnp.zeros_like(bw_t)
+            def sample(ctx_data, k, bsz):
+                ci_d, cj_d, f_d, lx_d = ctx_data
+                idx = jax.random.randint(k, (bsz,), 0, n_entries)
+                return (ci_d[idx], cj_d[idx], f_d[idx], lx_d[idx])
+
+            def batch_updates(st, sl, full_batch):
+                i, j, f_d, lx_d = sl
+
+                def loss_fn(w, c, bw, bc):
+                    pred = jnp.sum(w * c, axis=1) + bw + bc
+                    return (f_d * (pred - lx_d) ** 2).sum() / full_batch
+
+                loss, (gw, gc, gbw, gbc) = jax.value_and_grad(
+                    loss_fn, argnums=(0, 1, 2, 3)
+                )(st["emb"][i], st["ctx"][j], st["bw"][i], st["bc"][j])
+                return loss, [
+                    Update("emb", i, gw, "add"),
+                    Update("ctx", j, gc, "add"),
+                    Update("bw", i, gbw, "add"),
+                    Update("bc", j, gbc, "add"),
+                ]
+
+            ctx_data = (ci, cj, f_x, log_x)
+            if strategy == "data":
+                from jax import shard_map
+                from jax.sharding import (
+                    NamedSharding, PartitionSpec as P,
+                )
+
+                p = int(mesh.devices.size)
+                # Round UP to the mesh (sampling is with replacement, so a
+                # batch may exceed n_entries).
+                batch = -(-batch // p) * p
+                bp = batch // p
+                axis = mesh.axis_names[0]
+
+                def step(ctx_d, st, k, lr):
+                    specs = jax.tree_util.tree_map(lambda _: P(), st)
+                    ctx_specs = jax.tree_util.tree_map(lambda _: P(), ctx_d)
+
+                    @functools.partial(
+                        shard_map, mesh=mesh,
+                        in_specs=(ctx_specs, specs, P(), P()),
+                        out_specs=(specs, P()), check_vma=False,
+                    )
+                    def _run(ctx_l, st_l, k_l, lr_l):
+                        sl = sample(ctx_l, k_l, batch)
+                        i = jax.lax.axis_index(axis)
+                        sl_i = jax.tree_util.tree_map(
+                            lambda x: jax.lax.dynamic_slice_in_dim(
+                                x, i * bp, bp, 0
+                            ),
+                            sl,
+                        )
+                        loss, ups = batch_updates(st_l, sl_i, batch)
+                        st_l = apply_updates(
+                            st_l, gather_updates(ups, axis), lr_l
+                        )
+                        return st_l, jax.lax.psum(loss, axis)
+
+                    return _run(ctx_d, st, k, lr)
+
+                replicated = NamedSharding(mesh, P())
+                state = jax.device_put(state, replicated)
+                ctx_data = jax.device_put(ctx_data, replicated)
+            else:
+                def step(ctx_d, st, k, lr):
+                    sl = sample(ctx_d, k, batch)
+                    loss, ups = batch_updates(st, sl, batch)
+                    return apply_updates(st, ups, lr), loss
+
+            steps = max(1, n_entries // batch)
 
             # Co-occurrence arrays ride the jit ARGUMENT path: closed-over
             # jax arrays lower as inline HLO constants (GBs at scale).
-            @jax.jit
-            def epoch_fn(state, epoch_key, lr, ci, cj, f_x, log_x):
-                def body(state, k):
-                    emb, ctx, bw_t, bc_t = state
-                    idx = jax.random.randint(k, (batch,), 0, n_entries)
-                    i, j = ci[idx], cj[idx]
-
-                    def loss_fn(w, c, bw, bc):
-                        pred = jnp.sum(w * c, axis=1) + bw + bc
-                        return (f_x[idx] * (pred - log_x[idx]) ** 2).mean()
-
-                    loss, (gw, gc, gbw, gbc) = jax.value_and_grad(
-                        loss_fn, argnums=(0, 1, 2, 3)
-                    )(emb[i], ctx[j], bw_t[i], bc_t[j])
-                    return (
-                        emb.at[i].add(-lr * gw),
-                        ctx.at[j].add(-lr * gc),
-                        bw_t.at[i].add(-lr * gbw),
-                        bc_t.at[j].add(-lr * gbc),
-                    ), loss
-
-                state, losses = lax.scan(
-                    body, state, jax.random.split(epoch_key, steps)
+            @functools.partial(jax.jit, donate_argnums=1)
+            def epoch_fn(ctx_d, st, epoch_key, lr):
+                st, losses = lax.scan(
+                    lambda s, k: step(ctx_d, s, k, lr),
+                    st,
+                    jax.random.split(epoch_key, steps),
                 )
-                return state, losses.mean()
+                return st, losses.mean()
 
-            state = (emb, ctx, bw_t, bc_t)
             for epoch in range(self._epochs):
                 lr = jnp.float32(
                     self._learning_rate * self._learning_rate_decay ** epoch
                 )
                 state, last = epoch_fn(
-                    state, jax.random.fold_in(key, epoch * 131 + p_idx), lr,
-                    ci, cj, f_x, log_x,
+                    ctx_data, state, jax.random.fold_in(key, epoch * 131 + p_idx),
+                    lr,
                 )
-            emb, ctx, bw_t, _ = state
             params["node_embedding"] = (
-                params["node_embedding"].at[p_idx].set(emb)
+                params["node_embedding"].at[p_idx].set(
+                    jax.device_get(state["emb"])
+                )
             )
             params["context_embedding"] = (
-                params["context_embedding"].at[p_idx].set(ctx)
+                params["context_embedding"].at[p_idx].set(
+                    jax.device_get(state["ctx"])
+                )
             )
-            params["context_bias"] = params["context_bias"].at[p_idx].set(bw_t)
+            params["context_bias"] = params["context_bias"].at[p_idx].set(
+                jax.device_get(state["bw"])
+            )
         self._last_loss = None if last is None else float(last)
         return self._extract(params, graph)

@@ -30,12 +30,27 @@ def nce_loss(
     target of 1/P (TF divides the label mass across the true classes), so
     per-positive loss is softplus(l) - l/P; negatives have target 0.
     Verified bit-for-bit against TF in tests/test_tf_parity.py."""
+    return nce_loss_per_sample(
+        center, pos_context, pos_bias, neg_context, neg_bias
+    ).mean()
+
+
+def nce_loss_per_sample(
+    center: jnp.ndarray,        # [N, D]
+    pos_context: jnp.ndarray,   # [N, P, D]
+    pos_bias: jnp.ndarray,      # [N, P]
+    neg_context: jnp.ndarray,   # [K, D]
+    neg_bias: jnp.ndarray,      # [K]
+) -> jnp.ndarray:
+    """[N] per-sample NCE losses (see `nce_loss`) — unreduced, so callers
+    slicing the batch across devices can normalize by the FULL batch size
+    and keep per-slice gradients summing to the single-chip gradients."""
     p = pos_context.shape[1]
     pos_logits = jnp.einsum("nd,npd->np", center, pos_context) + pos_bias
     neg_logits = center @ neg_context.T + neg_bias[None, :]  # [N, K]
     loss_pos = (_softplus(pos_logits) - pos_logits / p).sum(axis=1)
     loss_neg = _softplus(neg_logits).sum(axis=1)
-    return (loss_pos + loss_neg).mean()
+    return loss_pos + loss_neg
 
 
 def sampled_softmax_loss(
@@ -47,10 +62,23 @@ def sampled_softmax_loss(
 ) -> jnp.ndarray:
     """Sampled softmax with one true class and K shared sampled classes
     (TF `tf.nn.sampled_softmax_loss` semantics)."""
+    return sampled_softmax_loss_per_sample(
+        hidden, true_emb, true_bias, neg_emb, neg_bias
+    ).mean()
+
+
+def sampled_softmax_loss_per_sample(
+    hidden: jnp.ndarray,       # [N, D]
+    true_emb: jnp.ndarray,     # [N, D]
+    true_bias: jnp.ndarray,    # [N]
+    neg_emb: jnp.ndarray,      # [K, D]
+    neg_bias: jnp.ndarray,     # [K]
+) -> jnp.ndarray:
+    """[N] per-sample sampled-softmax losses (see `sampled_softmax_loss`)."""
     true_logit = jnp.sum(hidden * true_emb, axis=1) + true_bias      # [N]
     neg_logits = hidden @ neg_emb.T + neg_bias[None, :]              # [N, K]
     logits = jnp.concatenate([true_logit[:, None], neg_logits], axis=1)
-    return -jax.nn.log_softmax(logits, axis=1)[:, 0].mean()
+    return -jax.nn.log_softmax(logits, axis=1)[:, 0]
 
 
 def margin_loss(

@@ -53,6 +53,8 @@ def test_first_order_line(karate):
     model = FirstOrderLINE(
         embedding_size=16, epochs=600, batch_size=156,
         learning_rate=0.3, learning_rate_decay=0.995, random_state=0,
+        early_stopping_patience=10**6,
+        learning_rate_plateau_patience=10**6,
     )
     result = model.fit_transform(karate)
     emb = result.get_node_embedding_from_index(0)
@@ -64,6 +66,8 @@ def test_second_order_line(karate):
     model = SecondOrderLINE(
         embedding_size=16, epochs=600, batch_size=156,
         learning_rate=0.3, learning_rate_decay=0.995, random_state=0,
+        early_stopping_patience=10**6,
+        learning_rate_plateau_patience=10**6,
     )
     result = model.fit_transform(karate)
     assert len(result.node_embeddings) == 2
@@ -76,6 +80,8 @@ def test_unstructured(karate):
     model = Unstructured(
         embedding_size=16, epochs=200, batch_size=156,
         learning_rate=0.05, learning_rate_decay=0.995, random_state=0,
+        early_stopping_patience=10**6,
+        learning_rate_plateau_patience=10**6,
     )
     result = model.fit_transform(karate)
     emb = np.asarray(result.get_node_embedding_from_index(0))
@@ -95,6 +101,8 @@ def test_transe(typed_karate):
     model = TransE(
         embedding_size=16, epochs=200, batch_size=156,
         learning_rate=0.05, learning_rate_decay=0.995, random_state=0,
+        early_stopping_patience=10**6,
+        learning_rate_plateau_patience=10**6,
     )
     result = model.fit_transform(typed_karate)
     assert len(result.edge_type_embeddings) == 1

