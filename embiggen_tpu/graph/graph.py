@@ -204,6 +204,25 @@ class Graph(ReferenceGraphAPI):
             np.arange(self.number_of_nodes, dtype=self.col_idx.dtype), self.degrees
         )
 
+    @cached_property
+    def arcs_fingerprint(self) -> str:
+        """Content hash of the adjacency structure + weights — the cache
+        key for derived device layouts (e.g. the GCN kernel cache,
+        `models/gcn/core.py`): two holdout/graph objects with identical
+        arcs share one fingerprint, so expensive host relayouts are built
+        once per SPLIT, not once per (model, split) pair (VERDICT r3
+        item 3). ~0.1 s/20M arcs (sha1 over the raw arrays); computed
+        lazily and cached on the immutable graph."""
+        import hashlib
+
+        h = hashlib.sha1()
+        h.update(np.int64(self.number_of_nodes).tobytes())
+        h.update(np.ascontiguousarray(self.row_ptr).tobytes())
+        h.update(np.ascontiguousarray(self.col_idx).tobytes())
+        if self.weights is not None:
+            h.update(np.ascontiguousarray(self.weights).tobytes())
+        return h.hexdigest()
+
     @property
     def destinations(self) -> np.ndarray:
         return self.col_idx

@@ -45,6 +45,47 @@ def graph_fingerprint(graph: Graph, *extras) -> str:
     )
 
 
+_KERNEL_CACHE: "OrderedDict[tuple, Any]" = __import__(
+    "collections"
+).OrderedDict()
+# Small LRU: entries hold DEVICE arrays (a 20M-arc PaddedKernel with its
+# transpose is ~350 MB of HBM), and one holdout rarely needs more than two
+# distinct kernels.
+_KERNEL_CACHE_SIZE = 4
+
+
+def _cached_kernel(graph: Graph, name: str, halo_mesh, halo_axis):
+    """Module-level LRU of relaid-out kernels, keyed on the graph's content
+    fingerprint (`Graph.arcs_fingerprint`) + kernel name + halo config —
+    shared across model instances (see `GCNEncoder.build_kernels`)."""
+    key = (
+        graph.arcs_fingerprint, name,
+        None if halo_mesh is None else (
+            tuple(d.id for d in halo_mesh.devices.flat), halo_axis,
+        ),
+    )
+    hit = _KERNEL_CACHE.get(key)
+    if hit is not None:
+        _KERNEL_CACHE.move_to_end(key)
+        return hit
+    rows, cols, vals = kernel_coo(graph, name)
+    if halo_mesh is not None:
+        from ...parallel.halo import build_halo_partition
+
+        built = build_halo_partition(
+            rows, cols, vals, graph.number_of_nodes,
+            int(halo_mesh.devices.size),
+        )
+    else:
+        built = pad_coo(
+            rows, cols, vals, graph.number_of_nodes, with_transpose=True
+        )
+    _KERNEL_CACHE[key] = built
+    while len(_KERNEL_CACHE) > _KERNEL_CACHE_SIZE:
+        _KERNEL_CACHE.popitem(last=False)
+    return built
+
+
 def glorot(key, shape):
     limit = np.sqrt(6.0 / (shape[0] + shape[1]))
     return jax.random.uniform(key, shape, jnp.float32, -limit, limit)
@@ -125,37 +166,17 @@ class GCNEncoder:
         per fit, `abstract_gcn.py:1202-1221`). In halo mode: one
         `HaloPartition` per kernel instead.
 
-        A single-entry cache keyed on the support graph's identity skips
-        the host relayout when the same model refits on the same support
-        (e.g. bench warm fits, repeated fit calls): graphs are immutable,
-        and the cache holds a strong reference so the id cannot be
-        recycled."""
-        cache_key = (
-            id(graph), tuple(self.kernel_names),
-            id(self._halo_mesh), self._halo_axis,
-        )
-        cached = getattr(self, "_kernel_cache", None)
-        if cached is not None and cached[0] == cache_key:
-            return cached[2]
-        out = []
-        for name in self.kernel_names:
-            rows, cols, vals = kernel_coo(graph, name)
-            if self._halo_mesh is not None:
-                from ...parallel.halo import build_halo_partition
-
-                out.append(
-                    build_halo_partition(
-                        rows, cols, vals, graph.number_of_nodes,
-                        int(self._halo_mesh.devices.size),
-                    )
-                )
-            else:
-                out.append(pad_coo(
-                    rows, cols, vals, graph.number_of_nodes,
-                    with_transpose=True,
-                ))
-        self._kernel_cache = (cache_key, graph, out)
-        return out
+        Kernels are cached in a module-level LRU keyed on the support
+        graph's CONTENT fingerprint + kernel name (VERDICT r3 item 3): in
+        the evaluation harness every model evaluated on one holdout sees
+        the same train split, so the host relayout runs once per
+        (split, kernel name), not once per model — and models sharing a
+        kernel (e.g. Kipf edge- and node-label GCNs both use the Symmetric
+        Normalized Laplacian) share the device arrays too."""
+        return [
+            _cached_kernel(graph, name, self._halo_mesh, self._halo_axis)
+            for name in self.kernel_names
+        ]
 
     def _conv(self, pk, h: jnp.ndarray) -> jnp.ndarray:
         """One kernel application: A @ h — bucketed gather-contract on one

@@ -101,6 +101,16 @@ def get_lib() -> Optional[ctypes.CDLL]:
         ctypes.c_uint64, ctypes.c_int,
         ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
     ]
+    lib.ell_relayout.restype = None
+    lib.ell_relayout.argtypes = [
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
+    ]
     lib.dag_mica_block.restype = None
     lib.dag_mica_block.argtypes = [
         ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
@@ -133,6 +143,45 @@ def alias_tables(row_ptr: np.ndarray, weights: np.ndarray):
         alias.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
     )
     return prob, alias
+
+
+def ell_relayout(
+    rows: np.ndarray,
+    cols: np.ndarray,
+    vals: np.ndarray,
+    n_out: int,
+    k: int,
+    n_overflow: int,
+):
+    """Native single-K ELLPACK relayout (see graph_algos.cpp::ell_relayout).
+    Returns (cols_pad [n_out, k], vals_pad, ov_rows, ov_cols, ov_vals,
+    absw, sqw) or None if the lib is unavailable. Accepts UNSORTED COO —
+    the counting-sort pass replaces the argsort the numpy path needs for
+    transposed kernels."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    rows = np.ascontiguousarray(rows, dtype=np.int32)
+    cols = np.ascontiguousarray(cols, dtype=np.int32)
+    vals = np.ascontiguousarray(vals, dtype=np.float32)
+    e = rows.shape[0]
+    cp = np.empty((n_out, k), np.int32)
+    vp = np.empty((n_out, k), np.float32)
+    ovr = np.empty(n_overflow, np.int32)
+    ovc = np.empty(n_overflow, np.int32)
+    ovv = np.empty(n_overflow, np.float32)
+    absw = np.empty(n_out, np.float32)
+    sqw = np.empty(n_out, np.float32)
+    as_i32 = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+    as_f32 = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+    lib.ell_relayout(
+        as_i32(rows), as_i32(cols), as_f32(vals),
+        ctypes.c_int64(e), ctypes.c_int64(n_out), ctypes.c_int64(k),
+        as_i32(cp), as_f32(vp),
+        as_i32(ovr), as_i32(ovc), as_f32(ovv),
+        as_f32(absw), as_f32(sqw),
+    )
+    return cp, vp, ovr, ovc, ovv, absw, sqw
 
 
 def native_connected_components(

@@ -119,3 +119,39 @@ def test_unfitted_raises(karate):
     model = KipfGCNNodeLabelPrediction.into_smoke_test(random_state=1)
     with pytest.raises(ValueError, match="fitted"):
         model.predict(karate)
+
+
+def test_kernel_cache_shared_across_models(karate):
+    """VERDICT r4 item 3: two models evaluated on the same train split
+    build (and share) the relaid-out kernel ONCE — the cache is keyed on
+    graph CONTENT, so a distinct-but-identical graph object also hits."""
+    import dataclasses
+
+    from embiggen_tpu.models.gcn import core as gcn_core
+    from embiggen_tpu.models.gcn.edge import KipfGCNEdgePrediction
+    from embiggen_tpu.models.gcn.node_label import KipfGCNNodeLabelPrediction
+
+    gcn_core._KERNEL_CACHE.clear()
+    m1 = KipfGCNEdgePrediction(
+        units=[8], tower_units=[8], head_units=[8], epochs=1, batch_size=32,
+        random_state=0,
+    )
+    m1.fit(karate)
+    assert len(gcn_core._KERNEL_CACHE) == 1
+    (k1,) = gcn_core._KERNEL_CACHE.values()
+    m2 = KipfGCNNodeLabelPrediction(
+        units=[8], head_units=[8], epochs=1, random_state=0
+    )
+    m2.fit(karate)
+    # Same content + same kernel name (Symmetric Normalized Laplacian):
+    # the second model reuses the first model's PaddedKernel object.
+    assert len(gcn_core._KERNEL_CACHE) == 1
+    assert next(iter(gcn_core._KERNEL_CACHE.values())) is k1
+    # A fresh graph object with identical arcs also hits (content key).
+    clone = dataclasses.replace(karate)
+    m3 = KipfGCNEdgePrediction(
+        units=[8], tower_units=[8], head_units=[8], epochs=1, batch_size=32,
+        random_state=0,
+    )
+    m3.fit(clone)
+    assert len(gcn_core._KERNEL_CACHE) == 1
