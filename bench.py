@@ -304,6 +304,66 @@ def main():
         }
         _mark('gcn epoch done')
 
+    # --- full evaluation harness at bench scale (VERDICT r3 item 4: the
+    # harness is the product; measure split / negative-sampling / feature /
+    # fit / eval wall time end-to-end on the 1M-node graph). 1 holdout,
+    # Perceptron + Kipf GCN, unbalance 1.0.
+    harness = None
+    if os.environ.get("EMBIGGEN_BENCH_EVAL", "1") != "0":
+        from embiggen_tpu.graph import sample_negative_graph
+        from embiggen_tpu.models.edge_prediction import (
+            PerceptronEdgePrediction,
+        )
+        from embiggen_tpu.models.gcn.edge import KipfGCNEdgePrediction
+        from embiggen_tpu.pipelines import edge_prediction_evaluation
+
+        t0 = time.perf_counter()
+        neg = sample_negative_graph(
+            graph, graph.number_of_directed_edges // 2, random_state=0
+        )
+        neg_sample_s = time.perf_counter() - t0
+        del neg
+
+        t0 = time.perf_counter()
+        df = edge_prediction_evaluation(
+            holdouts_number=1,
+            models=[
+                PerceptronEdgePrediction(
+                    edge_features=["Degree"], number_of_epochs=10,
+                    random_state=0,
+                ),
+                KipfGCNEdgePrediction(
+                    epochs=2, batch_size=1 << 20, dropout_rate=0.0,
+                    early_stopping_patience=10**6, random_state=0,
+                ),
+            ],
+            graphs=graph,
+            node_features=[np.asarray(x0)],
+            unbalance_rates=(1.0,),
+            random_state=0,
+            verbose=False,
+        )
+        harness_total_s = time.perf_counter() - t0
+        one = df.drop_duplicates(subset=["model_name"])
+        harness = {
+            "eval_total_s": round(harness_total_s, 2),
+            "eval_negative_sampling_s": round(neg_sample_s, 2),
+            "eval_split_s": round(float(one["split_time"].max()), 2),
+            "eval_feature_s": round(float(one["feature_time"].sum()), 2),
+            "eval_fit_s": round(float(one["fit_time"].sum()), 2),
+            "eval_predict_metrics_s": round(
+                float(one["evaluation_time"].sum()), 2
+            ),
+            "eval_test_auprc": round(
+                float(
+                    df[df["evaluation_mode"] == "test"]["auprc"]
+                    .astype(float).mean()
+                ),
+                4,
+            ),
+        }
+        _mark('evaluation harness done')
+
     cpu_proxy = cpu_walk_proxy(graph)
     cpu_proxy2 = cpu_walk_proxy(
         graph, return_weight=2.0, explore_weight=0.5
@@ -341,6 +401,8 @@ def main():
         )
     if gcn is not None:
         result.update(gcn)
+    if harness is not None:
+        result.update(harness)
     print(json.dumps(result))
 
 

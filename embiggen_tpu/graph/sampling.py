@@ -31,9 +31,15 @@ def sample_negative_graph(
     support = support or graph
     rng = np.random.default_rng(random_state)
     n = graph.number_of_nodes
-    degrees = support.degrees.astype(np.float64)
-    total_deg = degrees.sum()
-    p = degrees / total_deg if total_deg > 0 else None
+    # Degree-proportional node draws are the destinations of uniformly
+    # random arcs — one integer draw + one gather per sample, replacing the
+    # per-round `rng.choice(n, p=degrees/total)` whose O(n) CDF setup and
+    # validation dominated at bench scale (VERDICT r3 item 4).
+    # Arc SOURCES are out-degree-distributed (matching the old
+    # degrees-weighted draw exactly, directed graphs included).
+    arc_dst = support.sources
+    n_arcs = len(arc_dst)
+    scale_free = use_scale_free_distribution and n_arcs > 0
 
     got_src: list = []
     got_dst: list = []
@@ -42,9 +48,13 @@ def sample_negative_graph(
         if needed <= 0:
             break
         batch = max(1024, int(needed * 1.5))
-        if use_scale_free_distribution and p is not None:
-            src = rng.choice(n, size=batch, p=p)
-            dst = rng.choice(n, size=batch, p=p)
+        if scale_free:
+            src = arc_dst[rng.integers(0, n_arcs, size=batch)].astype(
+                np.int64
+            )
+            dst = arc_dst[rng.integers(0, n_arcs, size=batch)].astype(
+                np.int64
+            )
         else:
             src = rng.integers(0, n, size=batch)
             dst = rng.integers(0, n, size=batch)

@@ -132,3 +132,88 @@ def test_row_sharded_skipgram_matches_dim_sharded(karate):
     # padding rows received no updates
     pad = np.asarray(p_rows["node_embedding"])[34:]
     assert (pad == 0).all()
+
+
+def test_halo_comm_rows_tracks_planted_cut():
+    """VERDICT r4 item 8: ASSERT the comm story. On a planted partition
+    whose cut is known exactly, HaloPartition.comm_rows equals the number
+    of (boundary node, reader shard) pairs — far below the S*P^2 worst
+    case — and halo_spmm still matches the dense product."""
+    import numpy as np
+
+    from embiggen_tpu.parallel import make_mesh
+    from embiggen_tpu.parallel.halo import build_halo_partition, halo_spmm
+
+    p, s = 4, 16
+    n = p * s
+    rng = np.random.default_rng(0)
+    # dense-ish intra-shard edges
+    src, dst = [], []
+    for dev in range(p):
+        base = dev * s
+        a = rng.integers(base, base + s, 200)
+        b = rng.integers(base, base + s, 200)
+        keep = a != b
+        src.append(a[keep]); dst.append(b[keep])
+    # exactly 5 planted cross edges from shard 0 to shard 1, distinct
+    # endpoints on both sides
+    cross_src = np.arange(5)
+    cross_dst = s + np.arange(5)
+    src.append(cross_src); dst.append(cross_dst)
+    rows = np.concatenate(src); cols = np.concatenate(dst)
+    vals = rng.random(len(rows)).astype(np.float32)
+
+    part = build_halo_partition(rows, cols, vals, n, p)
+    # shard 0 reads 5 distinct nodes owned by shard 1 — nothing else
+    # crosses, so comm_rows == 5 exactly (worst case: s * p * (p-1) = 192).
+    assert part.comm_rows == 5
+    assert part.halo_width == 5
+
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    mesh = make_mesh(("nodes",), devices=jax.devices()[:p])
+    x = rng.random((n, 8)).astype(np.float32)
+    xs = jnp.asarray(x)
+    xs = jax.device_put(xs, NamedSharding(mesh, P("nodes")))
+    out = np.asarray(halo_spmm(mesh, "nodes", part, xs, "sum"))[:n]
+    dense = np.zeros((n, n), np.float32)
+    np.add.at(dense, (rows, cols), vals)
+    np.testing.assert_allclose(out, dense @ x, rtol=2e-4, atol=2e-5)
+
+
+def test_dp_gradient_exchange_volume_scales_with_batch_not_n():
+    """The data-parallel exchange payload (the all-gathered Update index
+    and gradient arrays) is a function of the BATCH, not of [N, D]: the
+    same batch on a 30x larger graph produces byte-identical payload
+    shapes."""
+    import jax
+    import numpy as np
+
+    from embiggen_tpu.graph import erdos_renyi, karate_club
+    from embiggen_tpu.models.embedders import FirstOrderLINE, TransE
+
+    def payload_elems(model_cls, graph, batch, **kw):
+        m = model_cls(embedding_size=8, batch_size=batch, epochs=1,
+                      random_state=0, **kw)
+        dg = m._prepare_data(graph)
+        params = m._init_params(graph, jax.random.PRNGKey(0))
+        sl, sh = m._sample_batch(dg, jax.random.PRNGKey(1), batch)
+        _, updates = m._batch_updates(params, (sl, sh), batch)
+        return [
+            (u.name, tuple(np.shape(u.idx)), tuple(np.shape(u.grad)))
+            for u in updates
+        ]
+
+    small = karate_club()
+    big = erdos_renyi(1000, 8000, seed=1)
+    for cls, kw in ((FirstOrderLINE, {}),):
+        p_small = payload_elems(cls, small, 64, **kw)
+        p_big = payload_elems(cls, big, 64, **kw)
+        assert p_small == p_big  # no [N, D] term anywhere
+        p_big2 = payload_elems(cls, big, 128, **kw)
+        # doubling the batch doubles every payload leading dim
+        for (n1, i1, g1), (n2, i2, g2) in zip(p_big, p_big2):
+            assert n1 == n2
+            assert i2[0] == 2 * i1[0] and g2[0] == 2 * g1[0]
