@@ -188,8 +188,13 @@ class PerceptronEdgePrediction(AbstractEdgePredictionModel):
         key = jax.random.PRNGKey(self.random_state or 0)
         steps = max(1, n // batch)
 
+        # (x, y) ride the jit ARGUMENT path — the example matrix is
+        # [2E, F] (hundreds of MB at bench scale) and a closure would
+        # lower it as an inline HLO constant, which overflows remote
+        # compile backends (first observed by the bench-scale evaluation
+        # harness run, VERDICT r3 item 4).
         @jax.jit
-        def epoch(w, b, k, lr):
+        def epoch(xd, yd, w, b, k, lr):
             def body(carry, kk):
                 w, b = carry
                 idx = jax.random.randint(kk, (batch,), 0, n)
@@ -214,7 +219,7 @@ class PerceptronEdgePrediction(AbstractEdgePredictionModel):
         lr = self._learning_rate
         for e in range(self._number_of_epochs):
             w, b, loss = epoch(
-                w, b, jax.random.fold_in(key, e), jnp.float32(lr)
+                xd, yd, w, b, jax.random.fold_in(key, e), jnp.float32(lr)
             )
             lr *= self._learning_rate_decay
         self._w = np.asarray(w)

@@ -128,11 +128,10 @@ class MinibatchEmbedder(AbstractEmbeddingModel):
         self._learning_rate_plateau_min_delta = learning_rate_plateau_min_delta
         self._learning_rate_plateau_patience = learning_rate_plateau_patience
         self._mesh = mesh
-        if distribution not in ("auto", "data", "none"):
+        if distribution not in ("auto", "data", "rows", "none"):
             raise ValueError(
-                "distribution must be one of 'auto', 'data', 'none'; got "
-                f"{distribution!r} (row-sharded tables are a walk-embedder "
-                "strategy)."
+                "distribution must be one of 'auto', 'data', 'rows', "
+                f"'none'; got {distribution!r}."
             )
         self._distribution = distribution
         super().__init__(
@@ -210,6 +209,18 @@ class MinibatchEmbedder(AbstractEmbeddingModel):
             and cls._sample_batch is not MinibatchEmbedder._sample_batch
         )
 
+    def _row_sharded_keys(self, graph: Graph, params) -> Tuple[str, ...]:
+        """Param tables sharded by NODE rows under distribution='rows' —
+        the out-of-core axis (the reference exposes mmap embedding paths on
+        these same models, e.g. `ensmallen_embedders/transe.py:20-21`,
+        `first_order_line.py:72`): aggregate HBM for the [N, ...] tables
+        scales with chips. Default: every table whose leading dimension is
+        the node count."""
+        n = graph.number_of_nodes
+        return tuple(
+            name for name, t in params.items() if t.shape[0] == n
+        )
+
     # ----------------------------------------------------------- step paths
     def _run_batch(self) -> int:
         b = getattr(self, "_run_batch_size", None)
@@ -263,8 +274,79 @@ class MinibatchEmbedder(AbstractEmbeddingModel):
 
         return step
 
+    def _make_row_sharded_step(self, mesh, batch_size: int, row_keys):
+        """Row-sharded-table step: every device draws the SAME full batch,
+        gathers the needed rows from the sharded tables (masked local
+        lookup + one psum per gather — comm ∝ batch) and applies updates
+        only to rows it owns (no comm). Bit-equal to single-chip on a CPU
+        mesh up to psum ordering."""
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        from ...parallel.sharded_table import (
+            _RowShardView,
+            _mean_scatter_owned,
+            _scatter_add_owned,
+        )
+
+        axis = mesh.axis_names[0]
+        row_keys = frozenset(row_keys)
+        model = self
+
+        def step(ctx, params, key, lr):
+            ctx_spec = jax.tree_util.tree_map(lambda _: P(), ctx)
+            param_specs = {
+                n: (
+                    P(axis, *([None] * (t.ndim - 1)))
+                    if n in row_keys else P()
+                )
+                for n, t in params.items()
+            }
+
+            @functools.partial(
+                shard_map,
+                mesh=mesh,
+                in_specs=(ctx_spec, param_specs, P(), P()),
+                out_specs=(param_specs, P()),
+                check_vma=False,
+            )
+            def _run(ctx_l, params_l, key_l, lr_l):
+                views = {
+                    n: (
+                        _RowShardView(t, axis) if n in row_keys else t
+                    )
+                    for n, t in params_l.items()
+                }
+                sl, sh = model._sample_batch(ctx_l, key_l, batch_size)
+                loss, updates = model._batch_updates(
+                    views, (sl, sh), batch_size
+                )
+                for u in updates:
+                    t = params_l[u.name]
+                    if u.name not in row_keys:
+                        params_l = apply_updates(params_l, [u], lr_l)
+                        continue
+                    assert u.mode in ("add", "mean"), u.mode
+                    assert not isinstance(u.idx, tuple)
+                    if u.mode == "mean":
+                        params_l[u.name], _ = _mean_scatter_owned(
+                            t, u.idx, u.grad, lr_l, axis
+                        )
+                    else:
+                        params_l[u.name] = _scatter_add_owned(
+                            t, u.idx, -lr_l * u.grad, axis
+                        )
+                # Gathered rows are identical on every shard, so the loss
+                # is already replicated.
+                return params_l, loss
+
+            params, loss = _run(ctx, params, key, lr)
+            return params, loss / batch_size
+
+        return step
+
     # -------------------------------------------------------- training loop
-    def _choose_distribution(self, mesh) -> str:
+    def _choose_distribution(self, mesh, graph: Graph, params) -> str:
         if mesh is None or self._distribution == "none":
             return "none"
         if not self.supports_distribution():
@@ -275,6 +357,24 @@ class MinibatchEmbedder(AbstractEmbeddingModel):
                 "training hooks; falling back to single-device training."
             )
             return "none"
+        if self._distribution == "rows" or (
+            self._distribution == "auto"
+            and sum(
+                int(np.prod(t.shape)) * 4
+                for n, t in params.items()
+                if n in self._row_sharded_keys(graph, params)
+            )
+            > (8 << 30)
+        ):
+            if not self._row_sharded_keys(graph, params):
+                import warnings
+
+                warnings.warn(
+                    f"{type(self).__name__} has no node-row tables to "
+                    "shard; using data parallelism."
+                )
+                return "data"
+            return "rows"
         return "data"
 
     def _fit_transform(self, graph: Graph) -> EmbeddingResult:
@@ -286,8 +386,10 @@ class MinibatchEmbedder(AbstractEmbeddingModel):
         key = jax.random.PRNGKey(self.random_state or 0)
         params = self._init_params(graph, key)
         mesh = resolve_mesh(self._mesh)
-        strategy = self._choose_distribution(mesh)
+        strategy = self._choose_distribution(mesh, graph, params)
         batch = self._resolve_batch_size(graph, ctx)
+        row_keys = ()
+        orig_rows = {}
         if strategy == "data":
             p = int(mesh.devices.size)
             batch = -(-batch // p) * p
@@ -298,6 +400,34 @@ class MinibatchEmbedder(AbstractEmbeddingModel):
             params = jax.device_put(params, replicated)
             ctx = jax.device_put(ctx, replicated)
             key = jax.device_put(key, replicated)
+        elif strategy == "rows":
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ...parallel.sharded_table import padded_rows
+
+            p = int(mesh.devices.size)
+            row_keys = self._row_sharded_keys(graph, params)
+            step_fn = self._make_row_sharded_step(mesh, batch, row_keys)
+            for n, t in params.items():
+                if n in row_keys:
+                    orig_rows[n] = t.shape[0]
+                    n_pad = padded_rows(t.shape[0], p)
+                    if n_pad != t.shape[0]:
+                        t = jnp.pad(
+                            t,
+                            [(0, n_pad - t.shape[0])]
+                            + [(0, 0)] * (t.ndim - 1),
+                        )
+                    spec = P(
+                        mesh.axis_names[0], *([None] * (t.ndim - 1))
+                    )
+                    params[n] = jax.device_put(t, NamedSharding(mesh, spec))
+                else:
+                    params[n] = jax.device_put(
+                        t, NamedSharding(mesh, P())
+                    )
+            ctx = jax.device_put(ctx, NamedSharding(mesh, P()))
+            key = jax.device_put(key, NamedSharding(mesh, P()))
         else:
             step_fn = self._step
         self._run_batch_size = batch
@@ -338,4 +468,7 @@ class MinibatchEmbedder(AbstractEmbeddingModel):
                 break
         self._last_loss = None if last is None else float(last)
         self._stopped_epoch = ctrl.stopped_epoch
+        for n, rows in orig_rows.items():
+            # Trim the mesh-padding rows before extraction.
+            params[n] = np.asarray(params[n])[:rows]
         return self._extract(params, graph)

@@ -97,6 +97,35 @@ def _mean_scatter_owned(shard, idx, grads, lr, axis, counts=None):
     return shard.at[local].add(-lr * grads * scale), counts
 
 
+class _RowShardView:
+    """Read-only `table[idx]` facade over a row-sharded table inside a
+    `shard_map` region: global-index gathers become masked local lookups +
+    one psum (`_gather_rows`). Lets the minibatch embedder hooks
+    (`models/embedders/minibatch.py::MinibatchEmbedder._batch_updates`),
+    which were written against plain arrays, run unchanged under
+    distribution='rows'."""
+
+    __slots__ = ("shard", "axis")
+
+    def __init__(self, shard, axis: str):
+        self.shard = shard
+        self.axis = axis
+
+    def __getitem__(self, idx):
+        idx = jnp.asarray(idx)
+        flat = idx.reshape(-1)
+        rows = _gather_rows(self.shard, flat, self.axis)
+        return rows.reshape(idx.shape + self.shard.shape[1:])
+
+    @property
+    def ndim(self):
+        return self.shard.ndim
+
+    @property
+    def dtype(self):
+        return self.shard.dtype
+
+
 def make_row_sharded_skipgram_step(
     mesh: Mesh,
     dg: DeviceGraph,

@@ -250,3 +250,63 @@ def test_resolve_mesh_contract():
         resolve_mesh(10_000)
     with pytest.raises(TypeError):
         resolve_mesh(3.5)
+
+
+@pytest.mark.parametrize(
+    "model_name", ["FirstOrderLINE", "SecondOrderLINE", "TransE", "RotatE"]
+)
+def test_minibatch_embedder_rows_matches_single_device(
+    typed_karate, model_name
+):
+    """distribution='rows' (out-of-core row-sharded entity tables — the
+    analogue of the reference's mmap embedding paths,
+    `ensmallen_embedders/transe.py:20-21`) reproduces the single-chip
+    result for the minibatch families too."""
+    from embiggen_tpu.models import embedders
+
+    cls = getattr(embedders, model_name)
+    kw = dict(embedding_size=8, epochs=2, batch_size=64, random_state=7)
+    ref = np.asarray(
+        cls(**kw).fit_transform(typed_karate).node_embeddings[0]
+    )
+    rows = np.asarray(
+        cls(**kw, mesh=8, distribution="rows")
+        .fit_transform(typed_karate).node_embeddings[0]
+    )
+    np.testing.assert_allclose(rows, ref, rtol=1e-5, atol=1e-7)
+
+
+def test_glove_rows_matches_single_device():
+    from embiggen_tpu.models.embedders import GloVe
+
+    g = karate_club()
+    kw = dict(
+        embedding_size=8, epochs=2, walk_length=8, window_size=2,
+        iterations=1, batch_size=64, random_state=7,
+    )
+    ref = np.asarray(GloVe(**kw).fit_transform(g).node_embeddings[0])
+    rows = np.asarray(
+        GloVe(**kw, mesh=8, distribution="rows")
+        .fit_transform(g).node_embeddings[0]
+    )
+    np.testing.assert_allclose(rows, ref, rtol=1e-5, atol=1e-7)
+
+
+def test_nodepiece_rows_falls_back_to_data():
+    """NodePiece stores no [N] tables (that's its point); asking for rows
+    warns and data-parallelizes instead."""
+    from embiggen_tpu.models.embedders import NodePiece
+
+    g = karate_club()
+    import dataclasses
+
+    labels = g.get_single_label_node_type_ids()
+    etypes = (labels[g.sources] != labels[g.col_idx]).astype(np.int32)
+    gt = dataclasses.replace(g, edge_types=etypes)
+    with pytest.warns(UserWarning, match="no node-row tables"):
+        res = NodePiece(
+            embedding_size=8, epochs=1, batch_size=32, random_state=0,
+            number_of_anchors=8, tokens_per_node=2,
+            mesh=8, distribution="rows",
+        ).fit_transform(gt)
+    assert np.isfinite(np.asarray(res.node_embeddings[0])).all()
