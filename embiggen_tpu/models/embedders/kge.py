@@ -747,10 +747,24 @@ class NodePiece(KGEModel):
         tokens = np.where(reach, tokens, n_anchors)
         return tokens
 
+    def _prepare_data(self, graph: Graph):
+        # Tokens ride the jit ARGUMENT path (via the batch's shared leaves):
+        # a closure over the [N, k] token table would lower it as an inline
+        # HLO constant (tens of MB at bench scale — the failure class that
+        # broke the Perceptron on the remote compile backend).
+        self._tokens = self._tokenize(graph)
+        return {
+            "dg": super()._prepare_data(graph),
+            "tokens": jnp.asarray(self._tokens),
+        }
+
+    def _sample_batch(self, ctx, key, batch_size: int):
+        sl, _ = super()._sample_batch(ctx["dg"], key, batch_size)
+        return sl, (ctx["tokens"],)
+
     def _init_params(self, graph: Graph, key):
         d = self.embedding_size
         n_anchors = min(self._number_of_anchors, graph.number_of_nodes)
-        self._tokens = jnp.asarray(self._tokenize(graph))
         r = max(graph.number_of_edge_types, 1)
         k1, k2, k3 = jax.random.split(key, 3)
         anchor = _normal(k1, (n_anchors + 1, d), 1 / np.sqrt(d))
@@ -763,8 +777,8 @@ class NodePiece(KGEModel):
             "edge_type_embedding": _normal(k3, (r, d), 1 / np.sqrt(d)),
         }
 
-    def _encode(self, node_ids, glob):
-        toks = self._tokens[node_ids]  # (..., k)
+    def _encode(self, node_ids, glob, tokens):
+        toks = tokens[node_ids]  # (..., k)
         emb = glob["anchor_embedding"][toks]  # (..., k, d)
         pooled = emb.mean(axis=-2)
         return jnp.tanh(
@@ -774,16 +788,16 @@ class NodePiece(KGEModel):
     def _batch_updates(self, params, batch, full_batch):
         from .minibatch import Update
 
-        (src, dst, csrc, cdst, etype), _ = batch
+        (src, dst, csrc, cdst, etype), (tokens,) = batch
         rel = {"edge_type_embedding": params["edge_type_embedding"][etype]}
         glob = {n: params[n] for n in self.GLOBAL_KEYS}
         bias = self._relu_bias
 
         def loss_fn(rel, glob):
             score = lambda a, b: -jnp.sum(
-                self._encode(a, glob)
+                self._encode(a, glob, tokens)
                 * rel["edge_type_embedding"]
-                * self._encode(b, glob),
+                * self._encode(b, glob, tokens),
                 axis=-1,
             )
             margin = jnp.maximum(
@@ -806,7 +820,9 @@ class NodePiece(KGEModel):
         # Materialize encoded node embeddings once at the end.
         glob = {n: params[n] for n in self.GLOBAL_KEYS}
         node_ids = jnp.arange(graph.number_of_nodes)
-        emb = jax.jit(lambda ids, g: self._encode(ids, g))(node_ids, glob)
+        emb = jax.jit(self._encode)(
+            node_ids, glob, jnp.asarray(self._tokens)
+        )
         return EmbeddingResult(
             embedding_method_name=self.model_name(),
             node_embeddings=[np.asarray(emb)],

@@ -32,7 +32,7 @@ def test_kge_ranks_positive_triples(cls):
     """After training, the mean distance of true triples must be lower than
     that of corrupted triples (the margin objective, measured directly)."""
     model = cls.into_smoke_test(random_state=7)
-    dg = GRAPH.device()
+    dg = model._prepare_data(GRAPH)  # DeviceGraph, or dict for NodePiece
     key = jax.random.PRNGKey(7)
     params = model._init_params(GRAPH, key)
 
@@ -47,10 +47,11 @@ def test_kge_ranks_positive_triples(cls):
         if isinstance(model, NodePiece):
             glob = {n: params[n] for n in model.GLOBAL_KEYS}
             rel = {"edge_type_embedding": params["edge_type_embedding"][et]}
+            toks = jnp.asarray(model._tokens)
             score = lambda a, b: -jnp.sum(
-                model._encode(a, glob)
+                model._encode(a, glob, toks)
                 * rel["edge_type_embedding"]
-                * model._encode(b, glob),
+                * model._encode(b, glob, toks),
                 axis=-1,
             )
             return float(score(src, dst).mean()), float(
