@@ -116,6 +116,8 @@ class MinibatchEmbedder(AbstractEmbeddingModel):
         learning_rate_plateau_patience: int = 1,
         mesh=None,
         distribution: str = "auto",
+        checkpoint_dir: Optional[str] = None,
+        checkpoint_interval: int = 1,
         random_state: int = 42,
         enable_cache: bool = False,
     ):
@@ -134,6 +136,8 @@ class MinibatchEmbedder(AbstractEmbeddingModel):
                 f"'none'; got {distribution!r}."
             )
         self._distribution = distribution
+        self._checkpoint_dir = checkpoint_dir
+        self._checkpoint_interval = max(1, checkpoint_interval)
         super().__init__(
             embedding_size=embedding_size,
             enable_cache=enable_cache,
@@ -390,6 +394,7 @@ class MinibatchEmbedder(AbstractEmbeddingModel):
         batch = self._resolve_batch_size(graph, ctx)
         row_keys = ()
         orig_rows = {}
+        place_fn = None
         if strategy == "data":
             p = int(mesh.devices.size)
             batch = -(-batch // p) * p
@@ -397,7 +402,7 @@ class MinibatchEmbedder(AbstractEmbeddingModel):
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             replicated = NamedSharding(mesh, P())
-            params = jax.device_put(params, replicated)
+            place_fn = lambda prm: jax.device_put(prm, replicated)  # noqa: E731
             ctx = jax.device_put(ctx, replicated)
             key = jax.device_put(key, replicated)
         elif strategy == "rows":
@@ -408,28 +413,38 @@ class MinibatchEmbedder(AbstractEmbeddingModel):
             p = int(mesh.devices.size)
             row_keys = self._row_sharded_keys(graph, params)
             step_fn = self._make_row_sharded_step(mesh, batch, row_keys)
-            for n, t in params.items():
-                if n in row_keys:
-                    orig_rows[n] = t.shape[0]
-                    n_pad = padded_rows(t.shape[0], p)
-                    if n_pad != t.shape[0]:
-                        t = jnp.pad(
-                            t,
-                            [(0, n_pad - t.shape[0])]
-                            + [(0, 0)] * (t.ndim - 1),
+            orig_rows = {n: params[n].shape[0] for n in row_keys}
+
+            def place_fn(prm):
+                out = {}
+                for n, t in prm.items():
+                    t = jnp.asarray(t)
+                    if n in row_keys:
+                        n_pad = padded_rows(t.shape[0], p)
+                        if n_pad != t.shape[0]:
+                            t = jnp.pad(
+                                t,
+                                [(0, n_pad - t.shape[0])]
+                                + [(0, 0)] * (t.ndim - 1),
+                            )
+                        spec = P(
+                            mesh.axis_names[0], *([None] * (t.ndim - 1))
                         )
-                    spec = P(
-                        mesh.axis_names[0], *([None] * (t.ndim - 1))
-                    )
-                    params[n] = jax.device_put(t, NamedSharding(mesh, spec))
-                else:
-                    params[n] = jax.device_put(
-                        t, NamedSharding(mesh, P())
-                    )
+                        out[n] = jax.device_put(
+                            t, NamedSharding(mesh, spec)
+                        )
+                    else:
+                        out[n] = jax.device_put(
+                            t, NamedSharding(mesh, P())
+                        )
+                return out
+
             ctx = jax.device_put(ctx, NamedSharding(mesh, P()))
             key = jax.device_put(key, NamedSharding(mesh, P()))
         else:
             step_fn = self._step
+        if place_fn is not None:
+            params = place_fn(params)
         self._run_batch_size = batch
         steps_per_epoch = self._steps_per_epoch(graph, ctx, batch)
 
@@ -453,8 +468,69 @@ class MinibatchEmbedder(AbstractEmbeddingModel):
                 self._learning_rate_plateau_patience
             ),
         )
+
+        # Mid-training checkpointing (same scheme as the walk embedders,
+        # SURVEY §5.4): per-epoch keys are fold_in(key, epoch) and lr is a
+        # pure function of (epoch, plateau state), both checkpointed, so a
+        # killed run resumes bit-identically. Fingerprinted against
+        # (model, graph, hyper-params); deleted on completion.
+        ckpt_path = None
+        ckpt_fp = None
+        start_epoch = 0
+        if self._checkpoint_dir is not None:
+            import os
+
+            from ...utils.checkpoint import (
+                checkpoint_exists,
+                checkpoint_matches,
+                load_pytree,
+                save_pytree,
+            )
+
+            ckpt_path = os.path.join(self._checkpoint_dir, "embed_state")
+            ckpt_fp = "|".join(
+                str(x)
+                for x in (
+                    type(self).__name__,
+                    getattr(graph, "name", ""),
+                    graph.number_of_nodes,
+                    graph.number_of_directed_edges,
+                    self.embedding_size,
+                    self._epochs,
+                    self._batch_size,
+                    self.random_state,
+                )
+            )
+            if checkpoint_exists(ckpt_path):
+                if checkpoint_matches(ckpt_path, ckpt_fp):
+                    state = load_pytree(
+                        ckpt_path,
+                        like={
+                            "params": jax.tree_util.tree_map(
+                                np.asarray, params
+                            ),
+                            "epoch": np.int64(0),
+                            "ctrl": ctrl.state_array(),
+                        },
+                    )
+                    params = jax.tree_util.tree_map(
+                        jnp.asarray, state["params"]
+                    )
+                    if place_fn is not None:
+                        params = place_fn(params)
+                    start_epoch = int(state["epoch"])
+                    ctrl.load_state_array(state["ctrl"])
+                else:
+                    import warnings
+
+                    warnings.warn(
+                        f"Ignoring checkpoint at {ckpt_path}: it was "
+                        "written by a different model/graph/hyper-parameter "
+                        "run."
+                    )
+
         last = None
-        for epoch in range(self._epochs):
+        for epoch in range(start_epoch, self._epochs):
             lr = jnp.float32(
                 self._learning_rate
                 * self._learning_rate_decay ** epoch
@@ -463,9 +539,31 @@ class MinibatchEmbedder(AbstractEmbeddingModel):
             params, last = epoch_fn(
                 ctx, params, jax.random.fold_in(key, epoch), lr
             )
-            if ctrl.update(float(last)):
+            stop = ctrl.update(float(last))
+            if (
+                ckpt_path is not None
+                and (epoch + 1) % self._checkpoint_interval == 0
+                and epoch + 1 < self._epochs
+                and not stop
+            ):
+                save_pytree(
+                    ckpt_path,
+                    {
+                        "params": jax.tree_util.tree_map(
+                            np.asarray, params
+                        ),
+                        "epoch": np.int64(epoch + 1),
+                        "ctrl": ctrl.state_array(),
+                    },
+                    fingerprint=ckpt_fp,
+                )
+            if stop:
                 ctrl.stopped_epoch = epoch
                 break
+        if ckpt_path is not None:
+            from ...utils.checkpoint import delete_checkpoint
+
+            delete_checkpoint(ckpt_path)
         self._last_loss = None if last is None else float(last)
         self._stopped_epoch = ctrl.stopped_epoch
         for n, rows in orig_rows.items():

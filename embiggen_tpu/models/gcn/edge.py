@@ -12,6 +12,7 @@ whole step — sampling, SpMM, gather, head, loss, update — is one jit region.
 """
 from __future__ import annotations
 
+import weakref
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import jax
@@ -33,6 +34,10 @@ from .core import (
     assemble_node_features,
     init_mlp,
 )
+
+
+# Per-instance jitted predict closures (weak: models must stay picklable).
+_PREDICT_JITS: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 
 class _EdgeGCNBase(AbstractClassifierModel):
@@ -357,15 +362,89 @@ class _EdgeGCNBase(AbstractClassifierModel):
             ),
         }
 
+    def _encode_nodes(
+        self, params, kernels, n_nodes, training=False, key=None, ctx=None
+    ):
+        """Feature materialization + convolution stack → [N, H] node
+        representations (the per-graph half of `_edge_logits`)."""
+        get = (ctx or {}).get
+        x = self._spec.materialize(params["embed"], static=get("x_static"))
+        return self._encoder.apply(
+            params["enc"], kernels, x, n_nodes, training=training, key=key
+        )
+
     def _edge_logits(
         self, params, kernels, src, dst, n_nodes, training=False, key=None,
         edge_types=None, ctx=None,
     ):
-        get = (ctx or {}).get
-        x = self._spec.materialize(params["embed"], static=get("x_static"))
-        h = self._encoder.apply(
-            params["enc"], kernels, x, n_nodes, training=training, key=key
+        h = self._encode_nodes(
+            params, kernels, n_nodes, training=training, key=key, ctx=ctx
         )
+        return self._score_edges(
+            params, h, src, dst, edge_types=edge_types, ctx=ctx
+        )
+
+    def _chunked_logits(
+        self, src: np.ndarray, dst: np.ndarray, chunk: int = 1 << 20
+    ) -> np.ndarray:
+        """Inference logits for an arbitrary candidate set: the convolution
+        runs ONCE, then (src, dst) pairs are scored in fixed-size chunks
+        (last chunk padded) so a 10M-arc train graph — or a full bipartite
+        candidate set — never materializes [E, H] tower activations at once
+        (the reference chunks inference at 2^15 edges,
+        `sklearn_like_edge_prediction_adapter.py:17-88`; 2^20 keeps the TPU
+        fed). Graph-sized tables ride the ctx ARGUMENT path."""
+        src = np.asarray(src, np.int32)
+        dst = np.asarray(dst, np.int32)
+        n = len(src)
+        ctx = self._train_ctx(self._kernels_coo, None)
+        ctx.pop("dg", None)
+        # Jitted closures are cached per instance (weakly, NOT as attrs —
+        # models pickle via utils/persistence.dump_model and jitted
+        # functions don't) so repeated predict calls reuse one compile.
+        got = _PREDICT_JITS.get(self)
+        if got is None:
+            got = (
+                jax.jit(
+                    lambda params, ctx: self._encode_nodes(
+                        params, ctx["kernels"], self._n_nodes, ctx=ctx
+                    )
+                ),
+                jax.jit(
+                    lambda params, h, s, d, ctx: self._score_edges(
+                        params, h, s, d, ctx=ctx
+                    )
+                ),
+            )
+            _PREDICT_JITS[self] = got
+        encode, score = got
+        h = encode(self._params, ctx)
+        if n <= chunk:
+            return np.asarray(
+                score(
+                    self._params, h, jnp.asarray(src), jnp.asarray(dst), ctx
+                )
+            )
+        outs = []
+        for i in range(0, n, chunk):
+            s = src[i:i + chunk]
+            d = dst[i:i + chunk]
+            take = len(s)
+            if take < chunk:
+                s = np.pad(s, (0, chunk - take))
+                d = np.pad(d, (0, chunk - take))
+            out = score(
+                self._params, h, jnp.asarray(s), jnp.asarray(d), ctx
+            )
+            outs.append(np.asarray(out)[:take])
+        return np.concatenate(outs, axis=0)
+
+    def _score_edges(self, params, h, src, dst, edge_types=None, ctx=None):
+        """Towers → edge combination → feature concat → head for a batch of
+        (src, dst) pairs over precomputed node representations `h` (the
+        per-edge half of `_edge_logits` — inference runs it over chunks so
+        candidate sets of any size score in bounded memory)."""
+        get = (ctx or {}).get
         h_src = apply_mlp(params["src_tower"], h[src], final_activation=jax.nn.relu)
         dst_tower = params.get("dst_tower", params["src_tower"])
         h_dst = apply_mlp(dst_tower, h[dst], final_activation=jax.nn.relu)
@@ -495,23 +574,14 @@ class GCNEdgePrediction(_EdgeGCNBase, AbstractEdgePredictionModel):
                        **kwargs) -> np.ndarray:
         """Sigmoid scores for every arc of `graph` (the candidate edge set),
         convolving over the fitted support kernels."""
-        kernels = self._kernels_coo
-        src = jnp.asarray(graph.sources, jnp.int32)
-        dst = jnp.asarray(graph.col_idx, jnp.int32)
-        logits = self._edge_logits(
-            self._params, kernels, src, dst, self._n_nodes
-        )[:, 0]
-        return np.asarray(jax.nn.sigmoid(logits))
+        logits = self._chunked_logits(graph.sources, graph.col_idx)[:, 0]
+        return np.asarray(jax.nn.sigmoid(jnp.asarray(logits)))
 
     def predict_proba_from_edge_node_ids(
         self, src: np.ndarray, dst: np.ndarray
     ) -> np.ndarray:
-        logits = self._edge_logits(
-            self._params, self._kernels_coo,
-            jnp.asarray(src, jnp.int32), jnp.asarray(dst, jnp.int32),
-            self._n_nodes,
-        )[:, 0]
-        return np.asarray(jax.nn.sigmoid(logits))
+        logits = self._chunked_logits(src, dst)[:, 0]
+        return np.asarray(jax.nn.sigmoid(jnp.asarray(logits)))
 
 
 class GCNEdgeLabelPrediction(_EdgeGCNBase, AbstractEdgeLabelPredictionModel):
@@ -598,12 +668,8 @@ class GCNEdgeLabelPrediction(_EdgeGCNBase, AbstractEdgeLabelPredictionModel):
         self._n_nodes = n_nodes
 
     def _predict_proba(self, graph: Graph, **kwargs) -> np.ndarray:
-        src = jnp.asarray(graph.sources, jnp.int32)
-        dst = jnp.asarray(graph.col_idx, jnp.int32)
-        logits = self._edge_logits(
-            self._params, self._kernels_coo, src, dst, self._n_nodes
-        )
-        return np.asarray(jax.nn.softmax(logits, axis=1))
+        logits = self._chunked_logits(graph.sources, graph.col_idx)
+        return np.asarray(jax.nn.softmax(jnp.asarray(logits), axis=1))
 
 
 def _kernel_preset(base, name, kernel_list, doc):

@@ -370,3 +370,31 @@ def test_evaluation_profile_dir_smoke(tmp_path):
         profile_dir=str(tmp_path / "traces"),
     )
     assert len(df) >= 2
+
+
+def test_minibatch_embedder_kill_and_resume_bit_identical(
+    tmp_path, monkeypatch
+):
+    """Checkpoint/resume for the minibatch families (LINE here): lr is a
+    pure function of (epoch, plateau state) and both round-trip through
+    the checkpoint, so a killed run resumes bit-identically."""
+    import pytest
+
+    import embiggen_tpu.utils.checkpoint as ck
+    from embiggen_tpu.models.embedders import FirstOrderLINE
+
+    g = karate_club()
+    kwargs = dict(
+        embedding_size=8, epochs=4, batch_size=32, random_state=7,
+    )
+    full = FirstOrderLINE(**kwargs).fit_transform(g).node_embeddings[0]
+
+    d = str(tmp_path / "ck_line")
+    monkeypatch.setattr(ck, "save_pytree", _KillAfter(2))
+    with pytest.raises(KeyboardInterrupt):
+        FirstOrderLINE(**kwargs, checkpoint_dir=d).fit_transform(g)
+    monkeypatch.undo()
+    resumed = FirstOrderLINE(**kwargs, checkpoint_dir=d).fit_transform(
+        g
+    ).node_embeddings[0]
+    np.testing.assert_array_equal(np.asarray(full), np.asarray(resumed))
