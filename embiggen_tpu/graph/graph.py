@@ -371,19 +371,39 @@ class Graph(ReferenceGraphAPI):
         return self.col_idx[self.row_ptr[node]: self.row_ptr[node + 1]]
 
     def has_edges(self, src: np.ndarray, dst: np.ndarray) -> np.ndarray:
-        """Vectorized membership test: one searchsorted over the sorted
-        encoded arc keys for the whole query batch (O((B) log E))."""
+        """Vectorized membership test: threaded open-addressing hash probes
+        via the native runtime (one cache miss per query — numpy's
+        searchsorted over 10M+ sorted keys is log2(E) DEPENDENT misses per
+        query and measured ~14 s per 7.5M-query batch at bench scale);
+        numpy searchsorted fallback when no compiler is available."""
         src = np.asarray(src)
         dst = np.asarray(dst)
-        keys = self._sorted_arc_keys
-        if len(keys) == 0:
+        if self.number_of_directed_edges == 0:
             return np.zeros(len(src), dtype=bool)
         q = src.astype(np.int64) * self.number_of_nodes + dst.astype(np.int64)
+        table = self._arc_hash_table
+        if table is not None:
+            from .. import native
+
+            got = native.arc_hash_contains(table, q.astype(np.uint64))
+            if got is not None:
+                return got
+        keys = self._sorted_arc_keys
         idx = np.minimum(np.searchsorted(keys, q), len(keys) - 1)
         return keys[idx] == q
 
     # kept as an alias: earlier call sites distinguish the two paths
     has_edges_fast = has_edges
+
+    @cached_property
+    def _arc_hash_table(self) -> Optional[np.ndarray]:
+        """Lazy native hash table over the encoded arc keys (None when the
+        native lib is unavailable); cached on the immutable graph."""
+        from .. import native
+
+        return native.arc_hash_build(
+            self._sorted_arc_keys.astype(np.uint64)
+        )
 
     @cached_property
     def _sorted_arc_keys(self) -> np.ndarray:
@@ -562,7 +582,15 @@ class Graph(ReferenceGraphAPI):
             if edge_types is not None:
                 edge_types = np.concatenate([edge_types, edge_types[non_loop]])
             src, dst = src_all, dst_all
-        order = np.lexsort((dst, src))
+        # (src, dst) sort via the native two-pass counting sort when
+        # available — numpy's lexsort is comparison-based and takes ~7 s
+        # per 10M arcs on the bench host (every negative graph and holdout
+        # split pays it).
+        from .. import native
+
+        order = native.sort_pairs(src, dst, n_nodes)
+        if order is None:
+            order = np.lexsort((dst, src))
         src, dst = src[order], dst[order]
         if weights is not None:
             weights = np.asarray(weights, dtype=np.float32)[order]

@@ -63,13 +63,26 @@ def sample_negative_graph(
         if not graph.directed:
             ok &= ~support.has_edges_fast(dst, src)
         src, dst = src[ok], dst[ok]
-        # dedupe within batch (canonical order for undirected)
+        # dedupe within batch (canonical order for undirected); radix-based
+        # first-occurrence extraction when the native lib is available
+        # (np.unique on 15M keys is a ~5 s comparison sort at bench scale)
         if not graph.directed:
             lo, hi = np.minimum(src, dst), np.maximum(src, dst)
         else:
             lo, hi = src, dst
-        key = lo.astype(np.int64) * n + hi
-        _, first = np.unique(key, return_index=True)
+        from .. import native
+
+        order = native.sort_pairs(lo, hi, n)
+        if order is not None:
+            ls, hs = lo[order], hi[order]
+            first = order[
+                np.concatenate(
+                    [[True], (ls[1:] != ls[:-1]) | (hs[1:] != hs[:-1])]
+                )
+            ]
+        else:
+            key = lo.astype(np.int64) * n + hi
+            _, first = np.unique(key, return_index=True)
         src, dst = lo[first], hi[first]
         take = min(needed, len(src))
         got_src.append(src[:take])

@@ -111,6 +111,27 @@ def get_lib() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_float),
         ctypes.POINTER(ctypes.c_float), ctypes.POINTER(ctypes.c_float),
     ]
+    lib.arc_hash_build.restype = None
+    lib.arc_hash_build.argtypes = [
+        ctypes.POINTER(ctypes.c_uint64), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_uint64), ctypes.c_int64,
+    ]
+    lib.arc_hash_contains.restype = None
+    lib.arc_hash_contains.argtypes = [
+        ctypes.POINTER(ctypes.c_uint64), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_uint64), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
+    ]
+    lib.counting_sort_pairs.restype = None
+    lib.counting_sort_pairs.argtypes = [
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int64, ctypes.c_int64, ctypes.POINTER(ctypes.c_int64),
+    ]
+    lib.radix_argsort_u64.restype = None
+    lib.radix_argsort_u64.argtypes = [
+        ctypes.POINTER(ctypes.c_uint64), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64),
+    ]
     lib.dag_mica_block.restype = None
     lib.dag_mica_block.argtypes = [
         ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
@@ -182,6 +203,81 @@ def ell_relayout(
         as_f32(absw), as_f32(sqw),
     )
     return cp, vp, ovr, ovc, ovv, absw, sqw
+
+
+def arc_hash_build(keys: np.ndarray):
+    """Open-addressing hash table over encoded arc keys (uint64).
+    Returns the table array (power-of-two size >= 2*len) or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    keys = np.ascontiguousarray(keys, dtype=np.uint64)
+    n = keys.shape[0]
+    size = 1
+    while size < max(2 * n, 16):
+        size <<= 1
+    table = np.empty(size, dtype=np.uint64)
+    lib.arc_hash_build(
+        keys.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        ctypes.c_int64(n),
+        table.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        ctypes.c_int64(size),
+    )
+    return table
+
+
+def arc_hash_contains(table: np.ndarray, queries: np.ndarray):
+    """bool[m] membership of `queries` in a table from `arc_hash_build`,
+    threaded. Returns None if the lib is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    queries = np.ascontiguousarray(queries, dtype=np.uint64)
+    out = np.empty(queries.shape[0], dtype=np.uint8)
+    lib.arc_hash_contains(
+        table.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        ctypes.c_int64(table.shape[0]),
+        queries.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        ctypes.c_int64(queries.shape[0]),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        0,
+    )
+    return out.astype(bool)
+
+
+def sort_pairs(src: np.ndarray, dst: np.ndarray, n_nodes: int):
+    """Stable lexicographic argsort of (src, dst) id pairs via two
+    counting-sort passes — the COO→CSR sort. Returns int64[e] or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    src = np.ascontiguousarray(src, dtype=np.int64)
+    dst = np.ascontiguousarray(dst, dtype=np.int64)
+    order = np.empty(src.shape[0], dtype=np.int64)
+    lib.counting_sort_pairs(
+        src.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        dst.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ctypes.c_int64(src.shape[0]),
+        ctypes.c_int64(int(n_nodes)),
+        order.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    return order
+
+
+def radix_argsort(keys: np.ndarray):
+    """Stable argsort of non-negative int64/uint64 keys via LSD radix
+    (skips constant-byte passes). Returns int64[n] order or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    keys = np.ascontiguousarray(keys, dtype=np.uint64)
+    order = np.empty(keys.shape[0], dtype=np.int64)
+    lib.radix_argsort_u64(
+        keys.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        ctypes.c_int64(keys.shape[0]),
+        order.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    return order
 
 
 def native_connected_components(

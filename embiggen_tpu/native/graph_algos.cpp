@@ -383,4 +383,127 @@ extern "C" void ell_relayout(
   }
 }
 
+// ---------------------------------------------------------------------------
+// Arc-set membership via an open-addressing hash table. numpy's searchsorted
+// over 10M+ sorted arc keys is memory-latency bound (log2(E) dependent cache
+// misses per query, ~14 s for 7.5M queries at bench scale); linear-probing
+// lookups cost ~1 miss, and queries thread perfectly. Keys are the encoded
+// src * n_nodes + dst (always < 2^63); EMPTY = ~0ull can never collide.
+// table_size must be a power of two (>= 2 * n_keys).
+static inline uint64_t mix64(uint64_t x) {
+  x += 0x9e3779b97f4a7c15ull;
+  x = (x ^ (x >> 30)) * 0xbf58476d1ce4e5b9ull;
+  x = (x ^ (x >> 27)) * 0x94d049bb133111ebull;
+  return x ^ (x >> 31);
+}
+
+extern "C" void arc_hash_build(
+    const uint64_t* keys, int64_t n, uint64_t* table, int64_t table_size) {
+  const uint64_t EMPTY = ~0ull;
+  const uint64_t mask = (uint64_t)table_size - 1;
+  std::fill(table, table + table_size, EMPTY);
+  for (int64_t i = 0; i < n; ++i) {
+    uint64_t k = keys[i];
+    uint64_t slot = mix64(k) & mask;
+    while (table[slot] != EMPTY && table[slot] != k) {
+      slot = (slot + 1) & mask;
+    }
+    table[slot] = k;
+  }
+}
+
+extern "C" void arc_hash_contains(
+    const uint64_t* table, int64_t table_size,
+    const uint64_t* queries, int64_t m, uint8_t* out, int n_threads) {
+  const uint64_t EMPTY = ~0ull;
+  const uint64_t mask = (uint64_t)table_size - 1;
+  auto worker = [&](int64_t i0, int64_t i1) {
+    for (int64_t i = i0; i < i1; ++i) {
+      uint64_t k = queries[i];
+      uint64_t slot = mix64(k) & mask;
+      uint8_t found = 0;
+      while (true) {
+        uint64_t v = table[slot];
+        if (v == k) { found = 1; break; }
+        if (v == EMPTY) break;
+        slot = (slot + 1) & mask;
+      }
+      out[i] = found;
+    }
+  };
+  if (n_threads < 1) n_threads = (int)std::thread::hardware_concurrency();
+  if (n_threads < 1 || m < (1 << 16)) n_threads = 1;
+  std::vector<std::thread> threads;
+  const int64_t chunk = (m + n_threads - 1) / n_threads;
+  for (int t = 0; t < n_threads; ++t) {
+    const int64_t i0 = t * chunk;
+    const int64_t i1 = std::min(m, i0 + chunk);
+    if (i0 >= i1) break;
+    threads.emplace_back(worker, i0, i1);
+  }
+  for (auto& th : threads) th.join();
+}
+
+// Stable lexicographic argsort of (src, dst) pairs in TWO counting-sort
+// passes (by dst, then by src) — the optimal sort for COO→CSR relayout:
+// O(E + N) sequential traffic per pass vs ~5 byte-passes for the generic
+// radix (and ~7 s for numpy's comparison lexsort at 10M pairs on the
+// bench host). Node ids must be < n_nodes.
+extern "C" void counting_sort_pairs(
+    const int64_t* src, const int64_t* dst, int64_t e, int64_t n_nodes,
+    int64_t* order) {
+  std::vector<int64_t> perm1(e);
+  std::vector<int64_t> counts(n_nodes + 1, 0);
+  // pass 1: stable sort by dst
+  for (int64_t i = 0; i < e; ++i) counts[dst[i] + 1]++;
+  for (int64_t v = 0; v < n_nodes; ++v) counts[v + 1] += counts[v];
+  for (int64_t i = 0; i < e; ++i) perm1[counts[dst[i]]++] = i;
+  // pass 2: stable sort by src over the dst-ordered permutation
+  std::fill(counts.begin(), counts.end(), 0);
+  for (int64_t i = 0; i < e; ++i) counts[src[i] + 1]++;
+  for (int64_t v = 0; v < n_nodes; ++v) counts[v + 1] += counts[v];
+  for (int64_t i = 0; i < e; ++i) {
+    const int64_t j = perm1[i];
+    order[counts[src[j]]++] = j;
+  }
+}
+
+// LSD radix argsort of uint64 keys (stable). Passes whose byte is constant
+// across all keys are skipped, so small-universe keys (src * n + dst with
+// n ~ 1M uses ~5 of 8 passes) sort in O(passes * n) sequential memory
+// traffic — ~5x numpy's comparison argsort on the bench host.
+extern "C" void radix_argsort_u64(
+    const uint64_t* keys, int64_t n, int64_t* order) {
+  std::vector<uint64_t> k0(keys, keys + n), k1(n);
+  std::vector<int64_t> o1(n);
+  for (int64_t i = 0; i < n; ++i) order[i] = i;
+  uint64_t* src_k = k0.data();
+  uint64_t* dst_k = k1.data();
+  int64_t* src_o = order;
+  int64_t* dst_o = o1.data();
+  int64_t count[256];
+  for (int pass = 0; pass < 8; ++pass) {
+    const int shift = pass * 8;
+    std::fill(count, count + 256, 0);
+    for (int64_t i = 0; i < n; ++i) count[(src_k[i] >> shift) & 0xFF]++;
+    bool constant = false;
+    for (int b = 0; b < 256; ++b) {
+      if (count[b] == n) { constant = true; break; }
+    }
+    if (constant) continue;
+    int64_t pos[256];
+    int64_t acc = 0;
+    for (int b = 0; b < 256; ++b) { pos[b] = acc; acc += count[b]; }
+    for (int64_t i = 0; i < n; ++i) {
+      const int b = (src_k[i] >> shift) & 0xFF;
+      dst_k[pos[b]] = src_k[i];
+      dst_o[pos[b]] = src_o[i];
+      pos[b]++;
+    }
+    std::swap(src_k, dst_k);
+    std::swap(src_o, dst_o);
+  }
+  if (src_o != order) std::copy(src_o, src_o + n, order);
+}
+
 }  // extern "C"

@@ -107,3 +107,31 @@ def test_native_random_walks_validity_and_pq():
         return float(back.mean())
 
     assert return_rate(w_ret) > return_rate(w_uni) * 3
+
+
+def test_native_arc_hash_and_sorts():
+    """Native membership/sort kernels match numpy semantics exactly."""
+    import numpy as np
+
+    from embiggen_tpu import native
+
+    if native.get_lib() is None:
+        import pytest
+
+        pytest.skip("native lib unavailable")
+    rng = np.random.default_rng(3)
+    keys = np.unique(rng.integers(0, 10**12, 5000).astype(np.int64))
+    table = native.arc_hash_build(keys.astype(np.uint64))
+    q = np.concatenate([keys[::3], rng.integers(0, 10**12, 4000)])
+    np.testing.assert_array_equal(
+        native.arc_hash_contains(table, q.astype(np.uint64)),
+        np.isin(q, keys),
+    )
+    k2 = rng.integers(0, 10**13, 20000).astype(np.int64)
+    order = native.radix_argsort(k2)
+    np.testing.assert_array_equal(k2[order], np.sort(k2, kind="stable"))
+    src = rng.integers(0, 500, 20000).astype(np.int64)
+    dst = rng.integers(0, 500, 20000).astype(np.int64)
+    np.testing.assert_array_equal(
+        native.sort_pairs(src, dst, 500), np.lexsort((dst, src))
+    )
