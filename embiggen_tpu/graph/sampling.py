@@ -13,6 +13,10 @@ import numpy as np
 from .graph import Graph
 
 
+_NEG_CACHE: "OrderedDict" = __import__("collections").OrderedDict()
+_NEG_CACHE_SIZE = 4
+
+
 def sample_negative_graph(
     graph: Graph,
     number_of_negative_samples: int,
@@ -27,7 +31,45 @@ def sample_negative_graph(
     `use_scale_free_distribution` (the reference default, with a loud warning
     otherwise — reference `edge_prediction_model.py:143-153`) so negative
     difficulty matches the positive degree distribution.
+
+    Results are memoized in a small LRU keyed by graph CONTENT + seed: the
+    draw is deterministic, and the evaluation harness asks every model for
+    the same negative graphs of the same holdout (reference
+    `edge_prediction_model.py:231-364` evaluates per model), so one sample
+    serves them all.
     """
+    cache_key = (
+        graph.arcs_fingerprint,
+        graph.directed,
+        None if support is None or support is graph
+        else support.arcs_fingerprint,
+        int(number_of_negative_samples),
+        int(random_state),
+        bool(use_scale_free_distribution),
+        int(max_rounds),
+    )
+    hit = _NEG_CACHE.get(cache_key)
+    if hit is not None:
+        _NEG_CACHE.move_to_end(cache_key)
+        return hit
+    result = _sample_negative_graph(
+        graph, number_of_negative_samples, random_state,
+        use_scale_free_distribution, support, max_rounds,
+    )
+    _NEG_CACHE[cache_key] = result
+    while len(_NEG_CACHE) > _NEG_CACHE_SIZE:
+        _NEG_CACHE.popitem(last=False)
+    return result
+
+
+def _sample_negative_graph(
+    graph: Graph,
+    number_of_negative_samples: int,
+    random_state: int,
+    use_scale_free_distribution: bool,
+    support: Optional[Graph],
+    max_rounds: int,
+) -> Graph:
     support = support or graph
     rng = np.random.default_rng(random_state)
     n = graph.number_of_nodes
