@@ -122,6 +122,12 @@ def get_lib() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_uint64), ctypes.c_int64,
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
     ]
+    lib.spanning_forest.restype = None
+    lib.spanning_forest.argtypes = [
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_int64, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_uint8),
+    ]
     lib.counting_sort_pairs.restype = None
     lib.counting_sort_pairs.argtypes = [
         ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
@@ -241,6 +247,29 @@ def arc_hash_contains(table: np.ndarray, queries: np.ndarray):
         ctypes.c_int64(queries.shape[0]),
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         0,
+    )
+    return out.astype(bool)
+
+
+def spanning_forest(
+    src: np.ndarray, dst: np.ndarray, order: np.ndarray, n_nodes: int
+):
+    """bool[m] mask of edges joining the union-find forest when processed
+    in `order`. Returns None if the lib is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    src = np.ascontiguousarray(src, dtype=np.int32)
+    dst = np.ascontiguousarray(dst, dtype=np.int32)
+    order = np.ascontiguousarray(order, dtype=np.int64)
+    out = np.empty(src.shape[0], dtype=np.uint8)
+    lib.spanning_forest(
+        src.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        dst.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        order.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ctypes.c_int64(src.shape[0]),
+        ctypes.c_int64(int(n_nodes)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
     )
     return out.astype(bool)
 

@@ -444,6 +444,37 @@ extern "C" void arc_hash_contains(
   for (auto& th : threads) th.join();
 }
 
+// Union-find spanning forest over an explicitly ordered edge list: edge
+// order[i] joins the forest iff its endpoints are in different components
+// at that point. The Python union-find this replaces spent ~30 s on 10M
+// `find` calls per bench-scale connected_holdout (VERDICT r3 item 4).
+extern "C" void spanning_forest(
+    const int32_t* src, const int32_t* dst, const int64_t* order,
+    int64_t m, int64_t n_nodes, uint8_t* in_forest) {
+  std::vector<int32_t> parent(n_nodes);
+  for (int64_t i = 0; i < n_nodes; ++i) parent[i] = (int32_t)i;
+  auto find = [&](int32_t x) {
+    int32_t root = x;
+    while (parent[root] != root) root = parent[root];
+    while (parent[x] != root) {
+      int32_t nxt = parent[x];
+      parent[x] = root;
+      x = nxt;
+    }
+    return root;
+  };
+  std::fill(in_forest, in_forest + m, 0);
+  for (int64_t i = 0; i < m; ++i) {
+    const int64_t e = order[i];
+    const int32_t a = find(src[e]);
+    const int32_t b = find(dst[e]);
+    if (a != b) {
+      parent[a] = b;
+      in_forest[e] = 1;
+    }
+  }
+}
+
 // Stable lexicographic argsort of (src, dst) pairs in TWO counting-sort
 // passes (by dst, then by src) — the optimal sort for COO→CSR relayout:
 // O(E + N) sequential traffic per pass vs ~5 byte-passes for the generic

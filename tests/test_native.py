@@ -135,3 +135,23 @@ def test_native_arc_hash_and_sorts():
     np.testing.assert_array_equal(
         native.sort_pairs(src, dst, 500), np.lexsort((dst, src))
     )
+
+
+def test_native_spanning_forest_matches_python(karate):
+    import numpy as np
+
+    from embiggen_tpu import native
+    import embiggen_tpu.graph.holdouts as H
+
+    if native.get_lib() is None:
+        import pytest
+
+        pytest.skip("native lib unavailable")
+    mask_native = H.spanning_forest_arcs(karate, random_state=5)
+    real = native.spanning_forest
+    native.spanning_forest = lambda *a, **k: None
+    try:
+        mask_py = H.spanning_forest_arcs(karate, random_state=5)
+    finally:
+        native.spanning_forest = real
+    np.testing.assert_array_equal(mask_native, mask_py)
