@@ -12,39 +12,71 @@ from typing import Dict
 import numpy as np
 
 
-def binary_auroc(labels: np.ndarray, scores: np.ndarray) -> float:
-    """Area under ROC via the Mann-Whitney U statistic with midrank ties."""
+def _stable_argsort(x: np.ndarray) -> np.ndarray:
+    """Stable ascending argsort of float64 scores — native LSD radix over
+    the order-preserving bit transform when available (numpy's mergesort
+    took 15-30 s per 19M-score metric at bench scale; radix is ~8
+    sequential passes)."""
+    from .. import native
+
+    x = np.ascontiguousarray(x, dtype=np.float64)
+    bits = x.view(np.uint64)
+    u = bits ^ np.where(
+        (bits >> np.uint64(63)) != 0,
+        np.uint64(0xFFFFFFFFFFFFFFFF),
+        np.uint64(0x8000000000000000),
+    )
+    order = native.radix_argsort(u)
+    if order is None:
+        return np.argsort(x, kind="mergesort")
+    return order
+
+
+def binary_auroc(
+    labels: np.ndarray, scores: np.ndarray, order: np.ndarray = None
+) -> float:
+    """Area under ROC via the Mann-Whitney U statistic with midrank ties
+    (midranks are computed fully vectorized — a per-tie-group Python loop
+    is a 19M-iteration disaster on mostly-distinct float scores).
+    `order` optionally supplies a precomputed ascending stable argsort of
+    `scores` (the panel shares one sort between AUROC and AUPRC)."""
     labels = np.asarray(labels).astype(bool)
     scores = np.asarray(scores, dtype=np.float64)
     n_pos = int(labels.sum())
     n_neg = len(labels) - n_pos
     if n_pos == 0 or n_neg == 0:
         return float("nan")
-    order = np.argsort(scores, kind="mergesort")
-    ranks = np.empty(len(scores), dtype=np.float64)
+    if order is None:
+        order = _stable_argsort(scores)
     sorted_scores = scores[order]
-    # midranks for ties
-    i = 0
-    r = np.arange(1, len(scores) + 1, dtype=np.float64)
-    boundaries = np.concatenate(
-        [[0], np.nonzero(np.diff(sorted_scores))[0] + 1, [len(scores)]]
+    grp = np.concatenate(
+        [[0], np.cumsum(sorted_scores[1:] != sorted_scores[:-1])]
     )
-    for a, b in zip(boundaries[:-1], boundaries[1:]):
-        r[a:b] = 0.5 * (a + 1 + b)
-    ranks[order] = r
+    counts = np.bincount(grp)
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    # a tie group occupying sorted positions [a, a+c) has 1-based ranks
+    # a+1..a+c → midrank a + (c + 1) / 2
+    mid = starts[grp] + (counts[grp] + 1) / 2.0
+    ranks = np.empty(len(scores), dtype=np.float64)
+    ranks[order] = mid
     u = ranks[labels].sum() - n_pos * (n_pos + 1) / 2
     return float(u / (n_pos * n_neg))
 
 
-def binary_auprc(labels: np.ndarray, scores: np.ndarray) -> float:
+def binary_auprc(
+    labels: np.ndarray, scores: np.ndarray, order: np.ndarray = None
+) -> float:
     """Area under precision-recall via step integration (sklearn
-    `average_precision_score` semantics)."""
+    `average_precision_score` semantics). `order` optionally supplies a
+    DESCENDING argsort of `scores` (tied thresholds collapse to the group
+    boundary, so within-tie order doesn't affect the value)."""
     labels = np.asarray(labels).astype(bool)
     scores = np.asarray(scores, dtype=np.float64)
     n_pos = int(labels.sum())
     if n_pos == 0:
         return float("nan")
-    order = np.argsort(-scores, kind="mergesort")
+    if order is None:
+        order = _stable_argsort(-scores)
     sorted_labels = labels[order].astype(np.float64)
     sorted_scores = scores[order]
     tp = np.cumsum(sorted_labels)
@@ -57,6 +89,17 @@ def binary_auprc(labels: np.ndarray, scores: np.ndarray) -> float:
     recall = tp / n_pos
     recall_prev = np.concatenate([[0.0], recall[:-1]])
     return float(np.sum((recall - recall_prev) * precision))
+
+
+def _ranking_pair(labels, scores) -> Dict[str, float]:
+    """AUROC + AUPRC sharing ONE stable sort (descending = reversed
+    ascending; AUPRC is tie-order invariant)."""
+    scores64 = np.asarray(scores, dtype=np.float64)
+    order = _stable_argsort(scores64)
+    return {
+        "auroc": binary_auroc(labels, scores64, order=order),
+        "auprc": binary_auprc(labels, scores64, order=order[::-1]),
+    }
 
 
 def all_binary_metrics(
@@ -88,8 +131,7 @@ def all_binary_metrics(
         "matthews_correlation_coefficient": (
             float((tp * tn - fp * fn) / mcc_den) if mcc_den > 0 else 0.0
         ),
-        "auroc": binary_auroc(labels, scores),
-        "auprc": binary_auprc(labels, scores),
+        **_ranking_pair(labels, scores),
         "true_positives": tp,
         "true_negatives": tn,
         "false_positives": fp,
