@@ -405,6 +405,23 @@ class Graph(ReferenceGraphAPI):
             self._sorted_arc_keys.astype(np.uint64)
         )
 
+    # Derived caches are dropped from pickles (a bench-scale graph's hash
+    # table + encoded keys are ~300 MB of recomputable state; models pickle
+    # their support graph via utils/persistence.dump_model).
+    _DERIVED_CACHES = (
+        "sources", "arcs_fingerprint", "degrees", "node_name_to_id",
+        "_arc_hash_table", "_sorted_arc_keys",
+    )
+
+    def __getstate__(self):
+        state = dict(self.__dict__)
+        for k in self._DERIVED_CACHES:
+            state.pop(k, None)
+        return state
+
+    def __setstate__(self, state):
+        self.__dict__.update(state)
+
     @cached_property
     def _sorted_arc_keys(self) -> np.ndarray:
         # CSR invariant: sources are non-decreasing and col_idx is sorted per
