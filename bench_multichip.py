@@ -154,6 +154,53 @@ def main():
                          "centers_per_s": round(centers / dt)}
         _mark(f"dp p={p}: {dp_results[p]}")
 
+    # Minibatch-family DP (round 4: every SGD embedder takes mesh=) —
+    # triples/s through the public TransE path on the shared Update
+    # protocol (`models/embedders/minibatch.py`).
+    import dataclasses
+
+    from embiggen_tpu.models.embedders import TransE
+
+    typed_graph = dataclasses.replace(
+        graph,
+        edge_types=(np.arange(n_arcs) % 4).astype(np.int32),
+    )
+    mb_results = {}
+    mb_batch = 8192
+    dg_t = typed_graph.device(with_sources=True)
+    for p in counts:
+        mesh = make_mesh(("data",), devices=devices[:p])
+        model = TransE(
+            embedding_size=64, epochs=1, batch_size=mb_batch,
+            random_state=0, mesh=mesh, distribution="data",
+        )
+        model._run_batch_size = mb_batch
+        params = model._init_params(typed_graph, jax.random.PRNGKey(0))
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        repl = NamedSharding(mesh, P())
+        params = jax.device_put(params, repl)
+        dg_p = jax.device_put(dg_t, repl)
+        step = model._make_dp_step(mesh, mb_batch)
+
+        k_steps = 4
+
+        @jax.jit
+        def mb_chain(dg, params, k):
+            def body(prm, kk):
+                prm, loss = step(dg, prm, kk, jnp.float32(0.05))
+                return prm, loss
+
+            params, losses = lax.scan(
+                body, params, jax.random.split(k, k_steps)
+            )
+            first = jax.tree_util.tree_leaves(params)[0]
+            return jnp.sum(losses) + first.reshape(-1)[:4].sum()
+
+        dt = timed(mb_chain, dg_p, params, jax.random.PRNGKey(1)) / k_steps
+        mb_results[p] = {"triples_per_s": round(mb_batch / dt)}
+        _mark(f"transe p={p}: {mb_results[p]}")
+
     base = halo_results[counts[0]]["edges_per_s"]
     virtual = len(jax.devices()) > (os.cpu_count() or 1)
     # On a virtual mesh, device counts beyond the physical cores measure
@@ -185,6 +232,7 @@ def main():
                 "graph": f"ER(n={n_nodes},arcs={n_arcs})",
                 "halo": halo_results,
                 "dp_skipgram": dp_results,
+                "dp_transe": mb_results,
             }
         )
     )
