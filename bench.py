@@ -310,7 +310,10 @@ def main():
     # Perceptron + Kipf GCN, unbalance 1.0.
     harness = None
     if os.environ.get("EMBIGGEN_BENCH_EVAL", "1") != "0":
-        from embiggen_tpu.graph import sample_negative_graph
+        from embiggen_tpu.graph import (
+            planted_partition_edges,
+            sample_negative_graph,
+        )
         from embiggen_tpu.models.edge_prediction import (
             PerceptronEdgePrediction,
         )
@@ -324,6 +327,16 @@ def main():
         neg_sample_s = time.perf_counter() - t0
         del neg
 
+        # The kernel benches above run on the rounds-comparable ER graph;
+        # the end-to-end evaluation runs on a same-scale PLANTED-PARTITION
+        # graph instead, where link prediction is genuinely learnable —
+        # on ER the constant 0.5 is the true optimum and every model
+        # correctly converges to it, making the quality column meaningless.
+        eval_graph = planted_partition_edges(
+            graph.number_of_nodes,
+            graph.number_of_directed_edges // 2,
+            seed=0,
+        )
         t0 = time.perf_counter()
         df = edge_prediction_evaluation(
             holdouts_number=1,
@@ -333,11 +346,12 @@ def main():
                     random_state=0,
                 ),
                 KipfGCNEdgePrediction(
-                    epochs=2, batch_size=1 << 20, dropout_rate=0.0,
+                    epochs=20, batch_size=1 << 20, dropout_rate=0.0,
+                    use_node_embedding=True, node_embedding_size=32,
                     early_stopping_patience=10**6, random_state=0,
                 ),
             ],
-            graphs=graph,
+            graphs=eval_graph,
             node_features=[np.asarray(x0)],
             unbalance_rates=(1.0,),
             random_state=0,

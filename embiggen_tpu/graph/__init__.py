@@ -5,6 +5,7 @@ from .generators import (
     barabasi_albert,
     erdos_renyi,
     planted_partition,
+    planted_partition_edges,
     random_geometric,
 )
 from .holdouts import (
@@ -24,6 +25,7 @@ __all__ = [
     "Graph", "DeviceGraph", "build_alias_tables",
     "from_csv", "from_pandas", "get_dataset", "karate_club", "small_ppi",
     "barabasi_albert", "erdos_renyi", "planted_partition",
+    "planted_partition_edges",
     "random_geometric",
     "connected_holdout", "random_holdout", "edge_prediction_kfold",
     "node_label_holdout", "node_label_kfold",

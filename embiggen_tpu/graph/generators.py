@@ -136,6 +136,64 @@ def planted_partition(
     )
 
 
+def planted_partition_edges(
+    n_nodes: int,
+    n_edges: int,
+    n_communities: int = 10,
+    within_fraction: float = 0.9,
+    seed: int = 42,
+    name: Optional[str] = None,
+) -> Graph:
+    """Planted-partition graph sampled by EDGE COUNT in O(E) — the
+    bench-scale variant of `planted_partition` (whose pair-rejection
+    sampler draws O(n² · p_max) candidates, infeasible at 1M nodes).
+    `within_fraction` of edges connect same-community endpoints, so link
+    prediction stays genuinely learnable at any scale (the bench's
+    end-to-end evaluation metric measures real learning, not the 0.5
+    constant-optimum of an unlearnable ER graph). The edge count is
+    approximate: duplicate draws collapse (sub-percent at sparse
+    densities)."""
+    rng = np.random.default_rng(seed)
+    comm = rng.integers(0, n_communities, size=n_nodes).astype(np.int32)
+    order = np.argsort(comm, kind="stable")
+    sizes = np.bincount(comm, minlength=n_communities).astype(np.int64)
+    starts = np.concatenate([[0], np.cumsum(sizes)[:-1]])
+    # 30% oversample: self-loops, same-community "between" draws and
+    # within-batch duplicates are dropped below.
+    n_draw = int(n_edges * 1.3) + 64
+    within = rng.random(n_draw) < within_fraction
+    src = np.empty(n_draw, np.int64)
+    dst = np.empty(n_draw, np.int64)
+    n_w = int(within.sum())
+    # within: community weighted by size² (≈ its share of same-community
+    # pairs), then two uniform members
+    p_c = sizes.astype(np.float64) ** 2
+    p_c /= p_c.sum()
+    c = rng.choice(n_communities, size=n_w, p=p_c)
+    pick = lambda cc: order[
+        starts[cc] + (rng.random(len(cc)) * sizes[cc]).astype(np.int64)
+    ]
+    src[within] = pick(c)
+    dst[within] = pick(c)
+    # between: uniform pairs, rejecting same-community below
+    n_b = n_draw - n_w
+    src[~within] = rng.integers(0, n_nodes, n_b)
+    dst[~within] = rng.integers(0, n_nodes, n_b)
+    ok = src != dst
+    ok &= within | (comm[src] != comm[dst])
+    src, dst = src[ok][:n_edges], dst[ok][:n_edges]
+    return Graph.from_edge_arrays(
+        src,
+        dst,
+        n_nodes=n_nodes,
+        directed=False,
+        name=name or f"SBM(n={n_nodes},e={n_edges},k={n_communities})",
+        node_type_ptr=np.arange(n_nodes + 1, dtype=np.int64),
+        node_type_ids=comm,
+        node_type_names=[f"community_{c}" for c in range(n_communities)],
+    )
+
+
 def random_geometric(
     n_nodes: int = 1000,
     radius: float = 0.07,

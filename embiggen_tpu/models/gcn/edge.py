@@ -38,6 +38,9 @@ from .core import (
 
 # Per-instance jitted predict closures (weak: models must stay picklable).
 _PREDICT_JITS: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+# Per-instance convolved node representations for inference (keyed on the
+# fitted params object; see _chunked_logits).
+_PREDICT_H: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 
 class _EdgeGCNBase(AbstractClassifierModel):
@@ -418,7 +421,17 @@ class _EdgeGCNBase(AbstractClassifierModel):
             )
             _PREDICT_JITS[self] = got
         encode, score = got
-        h = encode(self._params, ctx)
+        # The convolved node representations depend only on the fitted
+        # params (dropout off at inference) — the evaluation loop predicts
+        # train/test/negative sets back to back, so cache h per params
+        # object (a refit installs a fresh dict; weak keys keep the model
+        # picklable).
+        cached = _PREDICT_H.get(self)
+        if cached is not None and cached[0] is self._params:
+            h = cached[1]
+        else:
+            h = encode(self._params, ctx)
+            _PREDICT_H[self] = (self._params, h)
         if n <= chunk:
             return np.asarray(
                 score(

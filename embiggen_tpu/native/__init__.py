@@ -122,6 +122,12 @@ def get_lib() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_uint64), ctypes.c_int64,
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
     ]
+    lib.ranking_metrics_sorted.restype = None
+    lib.ranking_metrics_sorted.argtypes = [
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_uint8),
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+    ]
     lib.spanning_forest.restype = None
     lib.spanning_forest.argtypes = [
         ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
@@ -249,6 +255,25 @@ def arc_hash_contains(table: np.ndarray, queries: np.ndarray):
         0,
     )
     return out.astype(bool)
+
+
+def ranking_metrics_sorted(scores_asc: np.ndarray, labels_asc: np.ndarray):
+    """(auroc, auprc) from score-ascending-sorted float64 scores and uint8
+    labels, or None if the lib is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    scores_asc = np.ascontiguousarray(scores_asc, dtype=np.float64)
+    labels_asc = np.ascontiguousarray(labels_asc, dtype=np.uint8)
+    auroc = ctypes.c_double()
+    auprc = ctypes.c_double()
+    lib.ranking_metrics_sorted(
+        scores_asc.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        labels_asc.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_int64(scores_asc.shape[0]),
+        ctypes.byref(auroc), ctypes.byref(auprc),
+    )
+    return float(auroc.value), float(auprc.value)
 
 
 def spanning_forest(

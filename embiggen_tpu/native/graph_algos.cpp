@@ -475,6 +475,53 @@ extern "C" void spanning_forest(
   }
 }
 
+// AUROC (Mann-Whitney with midrank ties) + AUPRC (sklearn
+// average_precision step integration) in two linear passes over
+// score-ascending-sorted (scores, labels) — replaces ~8 full-array numpy
+// passes (gathers, cumsums, scatters) per metric panel at 19M+ scores.
+extern "C" void ranking_metrics_sorted(
+    const double* scores_asc, const uint8_t* labels_asc, int64_t n,
+    double* out_auroc, double* out_auprc) {
+  int64_t npos = 0;
+  for (int64_t i = 0; i < n; ++i) npos += labels_asc[i];
+  const int64_t nneg = n - npos;
+  if (npos == 0 || nneg == 0) {
+    *out_auroc = std::nan("");
+    *out_auprc = npos == 0 ? std::nan("") : 1.0;
+    return;
+  }
+  // ascending pass: positive midrank sum per tie group
+  double rank_sum = 0.0;
+  int64_t a = 0;
+  while (a < n) {
+    int64_t b = a + 1;
+    while (b < n && scores_asc[b] == scores_asc[a]) ++b;
+    int64_t pg = 0;
+    for (int64_t i = a; i < b; ++i) pg += labels_asc[i];
+    rank_sum += (double)pg * 0.5 * ((double)(a + 1) + (double)b);
+    a = b;
+  }
+  *out_auroc = (rank_sum - (double)npos * (npos + 1) / 2.0)
+               / ((double)npos * (double)nneg);
+  // descending pass: step-integrated precision-recall
+  double tp = 0.0, fp = 0.0, ap = 0.0, recall_prev = 0.0;
+  int64_t i = n - 1;
+  while (i >= 0) {
+    int64_t j = i - 1;
+    while (j >= 0 && scores_asc[j] == scores_asc[i]) --j;
+    for (int64_t k = i; k > j; --k) {
+      if (labels_asc[k]) tp += 1.0;
+      else fp += 1.0;
+    }
+    const double prec = tp / std::max(tp + fp, 1e-12);
+    const double rec = tp / (double)npos;
+    ap += (rec - recall_prev) * prec;
+    recall_prev = rec;
+    i = j;
+  }
+  *out_auprc = ap;
+}
+
 // Stable lexicographic argsort of (src, dst) pairs in TWO counting-sort
 // passes (by dst, then by src) — the optimal sort for COO→CSR relayout:
 // O(E + N) sequential traffic per pass vs ~5 byte-passes for the generic

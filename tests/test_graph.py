@@ -345,3 +345,18 @@ def test_get_dataset_local_file(tmp_path, monkeypatch):
     g = get_dataset("CIO")
     assert g.name == "CIO"
     assert g.number_of_nodes == 3
+
+
+def test_planted_partition_edges_scalable_generator():
+    """O(E) SBM generator: edge count (up to duplicate collapse),
+    within-community fraction, community node types."""
+    from embiggen_tpu.graph import planted_partition_edges
+
+    g = planted_partition_edges(5000, 40000, n_communities=5,
+                                within_fraction=0.8, seed=1)
+    assert g.number_of_nodes == 5000
+    assert 0.98 * 40000 <= g.number_of_edges <= 40000
+    comm = g.get_single_label_node_type_ids()
+    within = (comm[g.sources] == comm[g.col_idx]).mean()
+    assert 0.75 < within < 0.85
+    assert g.number_of_node_types == 5
