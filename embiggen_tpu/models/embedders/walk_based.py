@@ -234,21 +234,24 @@ class WalkBasedEmbedder(AbstractEmbeddingModel):
         `gather(table_name, idx)` returns the table rows for `idx` — plain
         indexing single-chip, psum-gather when tables are row-sharded.
         `row_grads` are per-walk-position gradients [b, L, ...] (one entry
-        per table touched by walk rows), `neg_grads` are [K, ...] gradients
-        of the shared negatives. `center_w` ([b, L] or None) multiplies each
-        centre's pair losses (degree-conditioned SGD knobs). Implementing
-        this hook (plus `_apply_table_grads`) is what makes a model
-        distributable."""
+        per table touched by walk rows), `neg_grads` are [b, K, ...]
+        gradients of the slice's per-walk negatives. `center_w` ([b, L] or
+        None) multiplies each centre's pair losses (degree-conditioned SGD
+        knobs). Implementing this hook (plus `_apply_table_grads`) is what
+        makes a model distributable."""
         raise NotImplementedError
 
     def _apply_table_grads(
-        self, params, flat, row_grads, negs, neg_grads, lr,
-        mean_scatter, neg_add,
+        self, params, flat, row_grads, negs_flat, neg_grads, lr,
+        mean_scatter,
     ):
-        """Apply flattened walk-row gradients + negative gradients to the
-        tables. `mean_scatter(table, idx, grads, lr)` and
-        `neg_add(table, idx, grads)` abstract over single-chip vs
-        owned-row-sharded scatters."""
+        """Apply flattened walk-row gradients (`flat` indices) and
+        flattened per-walk negative gradients (`negs_flat` indices) to the
+        tables. `mean_scatter(table, idx, grads, lr)` abstracts over
+        single-chip vs owned-row-sharded scatters; negatives use the SAME
+        per-row-mean policy as walk rows (symmetric word2vec-style
+        treatment — each touched row takes one full-lr averaged step per
+        batch)."""
         raise NotImplementedError
 
     @classmethod
@@ -348,10 +351,16 @@ class WalkBasedEmbedder(AbstractEmbeddingModel):
     def _sample_batch(
         self, dg: DeviceGraph, key: jnp.ndarray, batch_size: int
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        """(walks [B·iters, L], shared negatives [K]) for one step — the
+        """(walks [B·iters, L], negatives [B·iters, K]) for one step — the
         SAME key stream on every device, so the distributed paths train on
         exactly the batches the single-chip path would (replicated
-        sampling, sharded math)."""
+        sampling, sharded math). Negatives are PER WALK (each walk's L−2w
+        centres contrast against its own K draws): with one batch-global
+        set, every negative row would accumulate a gradient summed over
+        ALL centres — a ~10^6-term sum at the 32k-walker production batch
+        that freezes those rows and eventually drives a loss runaway
+        (word2vec and the reference's Rust trainers sample negatives per
+        centre for the same reason)."""
         k_start, k_walk, k_neg = jax.random.split(key, 3)
         starts = jax.random.randint(
             k_start, (batch_size,), 0, dg.n_nodes, dtype=jnp.int32
@@ -370,6 +379,7 @@ class WalkBasedEmbedder(AbstractEmbeddingModel):
         negs = negative_nodes_for_nce(
             dg, k_neg, self._number_of_negative_samples,
             self._use_scale_free_distribution,
+            per_walk=batch_size * self._iterations,
         )
         return walks, negs
 
@@ -424,10 +434,12 @@ class WalkBasedEmbedder(AbstractEmbeddingModel):
         row_flat = tuple(
             g.reshape((-1,) + g.shape[2:]) for g in row_grads
         )
+        neg_flat = tuple(
+            g.reshape((-1,) + g.shape[2:]) for g in neg_grads
+        )
         params = self._apply_table_grads(
-            params, flat, row_flat, negs, neg_grads, lr,
+            params, flat, row_flat, negs.reshape(-1), neg_flat, lr,
             mean_scatter=_mean_scatter,
-            neg_add=lambda t, i, g: t.at[i].add(-lr * g),
         )
         n_centers = walks.shape[0] * (
             self._walk_length - 2 * self._window_size
@@ -471,6 +483,9 @@ class WalkBasedEmbedder(AbstractEmbeddingModel):
                 my_walks = jax.lax.dynamic_slice_in_dim(
                     walks, i * bp, bp, axis=0
                 )
+                my_negs = jax.lax.dynamic_slice_in_dim(
+                    negs, i * bp, bp, axis=0
+                )
                 my_cw = None if center_w is None else (
                     jax.lax.dynamic_slice_in_dim(center_w, i * bp, bp, axis=0)
                 )
@@ -479,24 +494,27 @@ class WalkBasedEmbedder(AbstractEmbeddingModel):
                     return params_l[name][idx]
 
                 loss, row_grads, neg_grads = model._gathered_grads(
-                    gather, my_walks, negs, my_cw
+                    gather, my_walks, my_negs, my_cw
                 )
                 # Sparse exchange: concatenate per-device grad rows in axis
-                # order — matches walks.reshape(-1) element order exactly.
+                # order — matches walks.reshape(-1) (and negs.reshape(-1))
+                # element order exactly.
                 row_flat = tuple(
                     jax.lax.all_gather(
                         g.reshape((-1,) + g.shape[2:]), axis, tiled=True
                     )
                     for g in row_grads
                 )
-                neg_sum = tuple(
-                    jax.lax.psum(g, axis) for g in neg_grads
+                neg_flat = tuple(
+                    jax.lax.all_gather(
+                        g.reshape((-1,) + g.shape[2:]), axis, tiled=True
+                    )
+                    for g in neg_grads
                 )
                 params_l = model._apply_table_grads(
-                    params_l, walks.reshape(-1), row_flat, negs, neg_sum,
-                    lr_l,
+                    params_l, walks.reshape(-1), row_flat,
+                    negs.reshape(-1), neg_flat, lr_l,
                     mean_scatter=_mean_scatter,
-                    neg_add=lambda t, idx, g: t.at[idx].add(-lr_l * g),
                 )
                 loss = jax.lax.psum(loss, axis)
                 return params_l, loss
@@ -522,7 +540,6 @@ class WalkBasedEmbedder(AbstractEmbeddingModel):
         from ...parallel.sharded_table import (
             _gather_rows,
             _mean_scatter_owned,
-            _scatter_add_owned,
         )
 
         axis = mesh.axis_names[0]
@@ -558,14 +575,14 @@ class WalkBasedEmbedder(AbstractEmbeddingModel):
                 row_flat = tuple(
                     g.reshape((-1,) + g.shape[2:]) for g in row_grads
                 )
+                neg_flat = tuple(
+                    g.reshape((-1,) + g.shape[2:]) for g in neg_grads
+                )
                 params_l = model._apply_table_grads(
-                    params_l, walks.reshape(-1), row_flat, negs, neg_grads,
-                    lr_l,
+                    params_l, walks.reshape(-1), row_flat,
+                    negs.reshape(-1), neg_flat, lr_l,
                     mean_scatter=functools.partial(
                         _mean_scatter_owned, axis=axis
-                    ),
-                    neg_add=lambda t, idx, g: _scatter_add_owned(
-                        t, idx, -lr_l * g, axis
                     ),
                 )
                 return params_l, loss
@@ -817,10 +834,12 @@ def _mean_scatter(table, idx, grads, lr, counts=None):
 
 @register_model
 class SkipGram(WalkBasedEmbedder):
-    """Node2Vec SkipGram with NCE loss over shared scale-free negatives —
+    """Node2Vec SkipGram with NCE loss over per-walk scale-free negatives —
     capability match for reference `SkipGramTensorFlow`
     (`tensorflow_embedders/skipgram.py:13-61`, NCE positive_samples = 2·window)
-    and `Node2VecSkipGramEnsmallen`."""
+    and `Node2VecSkipGramEnsmallen` (whose Rust trainer samples negatives
+    per centre; per-walk is the batched equivalent at the same
+    negative-pressure scale)."""
 
     @classmethod
     def model_name(cls) -> str:
@@ -882,10 +901,13 @@ class SkipGram(WalkBasedEmbedder):
             pos_loss = (
                 (jax.nn.softplus(scores) - scores / (2 * w)) * pair_w
             ).sum()
+            # Per-walk negatives: neg_emb [B, K, D] — each walk's centres
+            # contrast against its own K draws (banded batched matmul,
+            # same MXU shape as the positive band).
             neg_scores = jnp.einsum(
-                "bld,kd->blk", w_rows, neg_emb,
+                "bld,bkd->blk", w_rows, neg_emb,
                 preferred_element_type=jnp.float32,
-            ) + neg_b[None, None, :]
+            ) + neg_b[:, None, :]
             neg_scores = _st_clip(neg_scores, clip)
             neg_loss = (jax.nn.softplus(neg_scores) * neg_center_w).sum()
             return pos_loss + neg_loss
@@ -902,27 +924,28 @@ class SkipGram(WalkBasedEmbedder):
         return loss, (g_w, g_c, g_b), (g_neg, g_nb)
 
     def _apply_table_grads(
-        self, params, flat, row_grads, negs, neg_grads, lr,
-        mean_scatter, neg_add,
+        self, params, flat, row_grads, negs_flat, neg_grads, lr,
+        mean_scatter,
     ):
-        # Walk rows: mean-accumulated (one full-lr step per touched row).
-        # Shared negatives: full SUMMED gradient — the repulsive force must
-        # scale with how many centers each negative was contrasted against,
-        # or embeddings collapse into an uninformative cone (verified on the
-        # SBM/karate separation harness; the st_clip bounds each term).
+        # Every touched row — context, bias AND negative — takes one
+        # full-lr step on the MEAN of its accumulated pair gradients (the
+        # batched collapse of word2vec's per-occurrence SGD). Context and
+        # negative contributions to the same table share one combined
+        # index multiset so a row serving both roles still averages once.
         g_w, g_c, g_b = row_grads
         g_neg, g_nb = neg_grads
-        params["node_embedding"], counts = mean_scatter(
+        params["node_embedding"], _ = mean_scatter(
             params["node_embedding"], flat, g_w, lr
         )
-        ctx, _ = mean_scatter(
-            params["context_embedding"], flat, g_c, lr, counts=counts
+        idx_ctx = jnp.concatenate([flat, negs_flat])
+        params["context_embedding"], counts_ctx = mean_scatter(
+            params["context_embedding"], idx_ctx,
+            jnp.concatenate([g_c, g_neg]), lr,
         )
-        params["context_embedding"] = neg_add(ctx, negs, g_neg)
-        bias, _ = mean_scatter(
-            params["context_bias"], flat, g_b, lr, counts=counts
+        params["context_bias"], _ = mean_scatter(
+            params["context_bias"], idx_ctx,
+            jnp.concatenate([g_b, g_nb]), lr, counts=counts_ctx,
         )
-        params["context_bias"] = neg_add(bias, negs, g_nb)
         return params
 
     def _extract(self, params, graph):
@@ -961,9 +984,9 @@ class CBOW(WalkBasedEmbedder):
     def _gathered_grads(self, gather, walks, negs, center_w=None):
         """Fused banded CBOW gradients: per-walk row gather [B, L, D], window
         mean via a constant banded averaging matrix on the MXU, sampled
-        softmax against centre words + shared negatives (same HBM-traffic win
-        as the SkipGram step). `center_w` [B, L] scales each centre's loss
-        (degree-conditioned SGD knobs)."""
+        softmax against centre words + per-walk negatives (same HBM-traffic
+        win as the SkipGram step). `center_w` [B, L] scales each centre's
+        loss (degree-conditioned SGD knobs)."""
         length = self._walk_length
         w = self._window_size
         pos = jnp.arange(length)
@@ -986,10 +1009,11 @@ class CBOW(WalkBasedEmbedder):
                 preferred_element_type=jnp.float32,
             )
             true_logit = jnp.sum(hidden * out_rows, axis=2) + out_b  # [B, L]
+            # Per-walk negatives: neg_emb [B, K, D].
             neg_logits = jnp.einsum(
-                "bld,kd->blk", hidden, neg_emb,
+                "bld,bkd->blk", hidden, neg_emb,
                 preferred_element_type=jnp.float32,
-            ) + neg_b[None, None, :]
+            ) + neg_b[:, None, :]
             logits = jnp.concatenate(
                 [true_logit[..., None], neg_logits], axis=2
             )
@@ -1009,23 +1033,26 @@ class CBOW(WalkBasedEmbedder):
         return loss, (g_in, g_out, g_ob), (g_neg, g_nb)
 
     def _apply_table_grads(
-        self, params, flat, row_grads, negs, neg_grads, lr,
-        mean_scatter, neg_add,
+        self, params, flat, row_grads, negs_flat, neg_grads, lr,
+        mean_scatter,
     ):
-        # Same scatter policy as SkipGram: mean rows, summed shared negatives.
+        # Same scatter policy as SkipGram: every touched row (outputs AND
+        # negatives) takes one full-lr mean step; shared combined index
+        # multiset for the output table + bias.
         g_in, g_out, g_ob = row_grads
         g_neg, g_nb = neg_grads
-        params["node_embedding"], counts = mean_scatter(
+        params["node_embedding"], _ = mean_scatter(
             params["node_embedding"], flat, g_in, lr
         )
-        out_emb, _ = mean_scatter(
-            params["output_embedding"], flat, g_out, lr, counts=counts
+        idx_out = jnp.concatenate([flat, negs_flat])
+        params["output_embedding"], counts_out = mean_scatter(
+            params["output_embedding"], idx_out,
+            jnp.concatenate([g_out, g_neg]), lr,
         )
-        params["output_embedding"] = neg_add(out_emb, negs, g_neg)
-        out_b, _ = mean_scatter(
-            params["output_bias"], flat, g_ob, lr, counts=counts
+        params["output_bias"], _ = mean_scatter(
+            params["output_bias"], idx_out,
+            jnp.concatenate([g_ob, g_nb]), lr, counts=counts_out,
         )
-        params["output_bias"] = neg_add(out_b, negs, g_nb)
         return params
 
     def _extract(self, params, graph):

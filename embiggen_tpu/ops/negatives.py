@@ -161,21 +161,38 @@ def siamese_mini_batch(
     return out
 
 
-@functools.partial(jax.jit, static_argnames=("n_negatives", "use_scale_free_distribution"))
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "n_negatives", "use_scale_free_distribution", "per_walk",
+    ),
+)
 def negative_nodes_for_nce(
     dg: DeviceGraph,
     key: jnp.ndarray,
     n_negatives: int,
     use_scale_free_distribution: bool = True,
+    per_walk: int = 0,
 ) -> jnp.ndarray:
-    """[n_negatives] shared negative node sample for an NCE/sampled-softmax
-    step. Scale-free draw replaces TF's log-uniform sampler (which the
-    reference approximates by degree-sorting node ids —
-    `tensorflow_embedders/node2vec.py:204`); a degree-proportional draw is the
-    exact distribution the log-uniform trick approximates."""
+    """Negative node sample for an NCE/sampled-softmax step: [n_negatives]
+    shared, or [per_walk, n_negatives] with one negative set per walk when
+    `per_walk` > 0. Scale-free draw replaces TF's log-uniform sampler
+    (which the reference approximates by degree-sorting node ids —
+    `tensorflow_embedders/node2vec.py:204`); a degree-proportional draw is
+    the exact distribution the log-uniform trick approximates.
+
+    Per-walk negatives are the scale-correct regime (word2vec / the
+    reference's Rust trainers sample negatives per CENTER): with one
+    GLOBAL set, every negative row accumulates a gradient summed over ALL
+    centers in the batch — at a 32k-walker production batch that is a
+    ~10^6-term sum landing on 10 rows, which first freezes those rows at
+    the margin and eventually drives a loss runaway."""
+    shape = (
+        (per_walk, n_negatives) if per_walk else (n_negatives,)
+    )
     if use_scale_free_distribution:
-        return sample_nodes_scale_free(dg, key, (n_negatives,))
-    return sample_nodes_uniform(dg, key, (n_negatives,))
+        return sample_nodes_scale_free(dg, key, shape)
+    return sample_nodes_uniform(dg, key, shape)
 
 
 def edge_chunk(
