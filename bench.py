@@ -337,26 +337,37 @@ def main():
             graph.number_of_directed_edges // 2,
             seed=0,
         )
+        # The flagship reference workflow end-to-end at bench scale:
+        # SkipGram embeds the holdout's train graph (deferred topological
+        # feature, refit per split), a Hadamard/cosine perceptron and a
+        # Kipf GCN consume the embeddings. SkipGram at these settings
+        # reaches link AUROC ~0.74 by raw dot product at 1M nodes, so the
+        # quality columns measure real learning.
+        from embiggen_tpu.models.embedders import SkipGram
+
         t0 = time.perf_counter()
         df = edge_prediction_evaluation(
             holdouts_number=1,
             models=[
                 PerceptronEdgePrediction(
-                    edge_features=["Degree"], number_of_epochs=10,
+                    edge_features=["Degree"],
+                    edge_embeddings=["Hadamard", "CosineSimilarity"],
+                    number_of_epochs=30,
                     random_state=0,
                 ),
                 KipfGCNEdgePrediction(
-                    epochs=20, batch_size=1 << 20, dropout_rate=0.0,
-                    use_node_embedding=True, node_embedding_size=32,
+                    epochs=4, batch_size=1 << 20, dropout_rate=0.0,
                     early_stopping_patience=10**6, random_state=0,
                 ),
             ],
             graphs=eval_graph,
-            # Embedding-only GCN: the learned 32-dim table carries the
-            # signal; a 128-dim random feature block adds nothing to
-            # quality but makes the backward's [N, 160] activation chain
-            # exceed compile-time HBM at 1M nodes.
-            node_features=None,
+            node_features=SkipGram(
+                embedding_size=64, epochs=30, walk_length=16,
+                window_size=2, number_of_negative_samples=5,
+                learning_rate_decay=0.99, random_state=0,
+                early_stopping_patience=10**6,
+                learning_rate_plateau_patience=10**6,
+            ),
             unbalance_rates=(1.0,),
             random_state=0,
             verbose=False,
