@@ -94,6 +94,11 @@ class _WalkletsBase(WalkBasedEmbedder):
         )
 
     def _sample_walklets(self, dg: DeviceGraph, key):
+        # NOTE: walklets keeps a batch-SHARED negative set (per-pair
+        # negatives would tile [pairs, K, D] memory); at very large batch
+        # sizes the shared-negative gradient sum grows with the pair count
+        # (see PERF_NOTES §8) — the default-on plateau callbacks bound the
+        # risk, and smaller batch_size values avoid it entirely.
         k_walk, k_neg = jax.random.split(key)
         walks = self._walks(dg, k_walk)
         negs = negative_nodes_for_nce(
