@@ -351,7 +351,7 @@ def main():
             models=[
                 PerceptronEdgePrediction(
                     edge_features=["Degree"],
-                    edge_embeddings=["Hadamard", "CosineSimilarity"],
+                    edge_embeddings=["CosineSimilarity"],
                     number_of_epochs=30,
                     random_state=0,
                 ),
@@ -362,7 +362,7 @@ def main():
             ],
             graphs=eval_graph,
             node_features=SkipGram(
-                embedding_size=64, epochs=30, walk_length=16,
+                embedding_size=64, epochs=60, walk_length=16,
                 window_size=2, number_of_negative_samples=5,
                 learning_rate_decay=0.99, random_state=0,
                 early_stopping_patience=10**6,

@@ -102,8 +102,21 @@ class PerceptronEdgePrediction(AbstractEdgePredictionModel):
 
     # --------------------------------------------------------------- features
     def _assemble(
-        self, support: Graph, src: np.ndarray, dst: np.ndarray
+        self, support: Graph, src: np.ndarray, dst: np.ndarray,
+        chunk: int = 1 << 21,
     ) -> np.ndarray:
+        # Bounded-memory assembly: the edge-embedding operators gather
+        # [B, F] node-feature rows per endpoint — unchunked at a 32M-pair
+        # evaluation set with 128-dim features that is 2x16 GB of host
+        # temporaries (OOM-killed the bench-scale harness run).
+        if len(src) > chunk:
+            return np.concatenate(
+                [
+                    self._assemble(support, src[i:i + chunk], dst[i:i + chunk])
+                    for i in range(0, len(src), chunk)
+                ],
+                axis=0,
+            )
         parts = []
         if self._edge_features:
             metric_mat = None
