@@ -352,7 +352,7 @@ def main():
                 PerceptronEdgePrediction(
                     edge_features=["Degree"],
                     edge_embeddings=["CosineSimilarity"],
-                    number_of_epochs=30,
+                    number_of_epochs=15,
                     random_state=0,
                 ),
                 KipfGCNEdgePrediction(

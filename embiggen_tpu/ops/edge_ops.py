@@ -12,8 +12,24 @@ from __future__ import annotations
 from typing import Callable, Dict, List, Union
 
 import jax.numpy as jnp
+import numpy as np
 
 EPS = 1e-6
+
+
+def _xp(*arrays):
+    """Array namespace of the inputs: jnp for device arrays/tracers, numpy
+    for host arrays. Every op below serves BOTH worlds — inside jitted GCN
+    combination code and in host feature pipelines (perceptron, edge
+    transformers). Forcing numpy inputs through jnp is not a style issue
+    on this platform: each call ships the feature rows to the remote TPU
+    over the HTTP tunnel and back (measured MINUTES per 16M-pair
+    perceptron feature assembly at bench scale)."""
+    import jax
+
+    return (
+        jnp if any(isinstance(a, jax.Array) for a in arrays) else np
+    )
 
 
 def hadamard(src, dst):
@@ -34,7 +50,7 @@ def l1(src, dst):
 
 
 def absolute_l1(src, dst):
-    return jnp.abs(src - dst)
+    return _xp(src, dst).abs(src - dst)
 
 
 def squared_l2(src, dst):
@@ -43,32 +59,34 @@ def squared_l2(src, dst):
 
 def l2(src, dst):
     """Element-wise sqrt of squared difference = |src - dst| (reference 'L2')."""
-    return jnp.sqrt((src - dst) ** 2)
+    return _xp(src, dst).sqrt((src - dst) ** 2)
 
 
 def concatenate(src, dst):
-    return jnp.concatenate([src, dst], axis=-1)
+    return _xp(src, dst).concatenate([src, dst], axis=-1)
 
 
 def minimum(src, dst):
-    return jnp.minimum(src, dst)
+    return _xp(src, dst).minimum(src, dst)
 
 
 def maximum(src, dst):
-    return jnp.maximum(src, dst)
+    return _xp(src, dst).maximum(src, dst)
 
 
 def l2_distance(src, dst):
-    return jnp.sqrt(jnp.sum((src - dst) ** 2, axis=-1, keepdims=True))
+    xp = _xp(src, dst)
+    return xp.sqrt(xp.sum((src - dst) ** 2, axis=-1, keepdims=True))
 
 
 def cosine_similarity(src, dst):
-    num = jnp.sum(src * dst, axis=-1, keepdims=True)
-    norm = jnp.sqrt(
-        jnp.sum(src ** 2, axis=-1, keepdims=True)
-        * jnp.sum(dst ** 2, axis=-1, keepdims=True)
+    xp = _xp(src, dst)
+    num = xp.sum(src * dst, axis=-1, keepdims=True)
+    norm = xp.sqrt(
+        xp.sum(src ** 2, axis=-1, keepdims=True)
+        * xp.sum(dst ** 2, axis=-1, keepdims=True)
     )
-    return num / jnp.maximum(norm, EPS)
+    return num / xp.maximum(norm, EPS)
 
 
 def subtract(src, dst):
@@ -78,18 +96,20 @@ def subtract(src, dst):
 def l1_norm(edge_embedding):
     """Row-wise L1 norm of an edge embedding → [B, 1] (reference
     `get_l1_norm_edge_embedding`, `edge_transformer.py:107-122`)."""
-    return jnp.sum(jnp.abs(edge_embedding), axis=-1, keepdims=True)
+    xp = _xp(edge_embedding)
+    return xp.sum(xp.abs(edge_embedding), axis=-1, keepdims=True)
 
 
 def l2_norm(edge_embedding):
     """Row-wise L2 norm of an edge embedding → [B, 1] (reference
     `get_l2_norm_edge_embedding`, `edge_transformer.py:176-189`; used by the
     reference to normalize cosine similarity)."""
-    return jnp.sqrt(jnp.sum(edge_embedding ** 2, axis=-1, keepdims=True))
+    xp = _xp(edge_embedding)
+    return xp.sqrt(xp.sum(edge_embedding ** 2, axis=-1, keepdims=True))
 
 
 def dot(src, dst):
-    return jnp.sum(src * dst, axis=-1, keepdims=True)
+    return _xp(src, dst).sum(src * dst, axis=-1, keepdims=True)
 
 
 def l1_norm_op(src, dst):
