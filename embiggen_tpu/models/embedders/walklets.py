@@ -16,14 +16,13 @@ not per-row, so the walk-embedder row-sharded strategy does not apply —
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict, Tuple
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ...graph.graph import DeviceGraph, Graph
-from ...ops import losses as L
 from ...ops.negatives import negative_nodes_for_nce
 from ...ops.walks import random_walks
 from ..embedding_result import EmbeddingResult
@@ -52,17 +51,6 @@ class _WalkletsBase(WalkBasedEmbedder):
             "embedding_size": 4, "power": 2, "epochs": 1, "walk_length": 8,
             "window_size": 2, "batch_size": 32,
         }
-
-    def _stride_pairs(
-        self, walks: jnp.ndarray, p: int
-    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        """(words, contexts) at exact stride p, both directions."""
-        a = walks[:, :-p].reshape(-1)
-        b = walks[:, p:].reshape(-1)
-        return (
-            jnp.concatenate([a, b]),
-            jnp.concatenate([b, a]),
-        )
 
     def _init_params(self, graph: Graph, key: jnp.ndarray):
         n = graph.number_of_nodes
@@ -94,16 +82,16 @@ class _WalkletsBase(WalkBasedEmbedder):
         )
 
     def _sample_walklets(self, dg: DeviceGraph, key):
-        # NOTE: walklets keeps a batch-SHARED negative set (per-pair
-        # negatives would tile [pairs, K, D] memory); at very large batch
-        # sizes the shared-negative gradient sum grows with the pair count
-        # (see PERF_NOTES §8) — the default-on plateau callbacks bound the
-        # risk, and smaller batch_size values avoid it entirely.
+        # Negatives are PER WALK ([B, K] — each walk's stride pairs
+        # contrast against its own K draws), the scale-correct regime (see
+        # PERF_NOTES §8): a batch-shared set accumulates a
+        # pair-count-sized gradient sum on K rows at production batches.
         k_walk, k_neg = jax.random.split(key)
         walks = self._walks(dg, k_walk)
         negs = negative_nodes_for_nce(
             dg, k_neg, self._number_of_negative_samples,
             self._use_scale_free_distribution,
+            per_walk=walks.shape[0],
         )
         return walks, negs
 
@@ -169,8 +157,11 @@ class _WalkletsBase(WalkBasedEmbedder):
                 my_walks = jax.lax.dynamic_slice_in_dim(
                     walks, i * bp, bp, axis=0
                 )
+                my_negs = jax.lax.dynamic_slice_in_dim(
+                    negs, i * bp, bp, axis=0
+                )
                 loss, updates = model._walklet_updates(
-                    params_l, my_walks, negs, n_walkers
+                    params_l, my_walks, my_negs, n_walkers
                 )
                 params_l = apply_updates(
                     params_l, gather_updates(updates, axis), lr_l
@@ -212,27 +203,62 @@ class WalkletsSkipGram(_WalkletsBase):
         length = walks.shape[1]
         for p_idx in range(self._power):
             stride = p_idx + 1
-            words, contexts = self._stride_pairs(walks, stride)
-            n_full = 2 * full_walkers * (length - stride)
+            m = length - stride
+            a = walks[:, :m]
+            c = walks[:, stride:]
+            # Both directions, banded per walk: [b, 2m] word/context pairs
+            # against the walk's own [b, K] negatives (one [b,2m,K]
+            # batched matmul — pair-tiled negatives would need
+            # [pairs, K, D] memory).
+            words = jnp.concatenate([a, c], axis=1)
+            contexts = jnp.concatenate([c, a], axis=1)
+            n_full = 2 * full_walkers * m
             emb = params["node_embedding"][p_idx]
             ctx = params["context_embedding"][p_idx]
             bias = params["context_bias"][p_idx]
 
-            def loss_fn(w, c, pb, nc, nb):
-                return L.nce_loss_per_sample(
-                    w, c[:, None, :], pb[:, None], nc, nb
-                ).sum() / n_full
+            def loss_fn(w_rows, c_rows, cb, n_rows, nb):
+                # Per-pair NCE with num_true = 1: softplus(l) - l for the
+                # positive, softplus for each of the walk's K negatives —
+                # identical per-pair semantics to the shared-negative
+                # formulation, only the negative identities moved per walk.
+                pos = jnp.sum(w_rows * c_rows, axis=-1) + cb     # [b, 2m]
+                neg = jnp.einsum(
+                    "bmd,bkd->bmk", w_rows, n_rows,
+                    preferred_element_type=jnp.float32,
+                ) + nb[:, None, :]
+                return (
+                    (jax.nn.softplus(pos) - pos).sum()
+                    + jax.nn.softplus(neg).sum()
+                ) / n_full
 
             loss, grads = jax.value_and_grad(loss_fn, argnums=(0, 1, 2, 3, 4))(
-                emb[words], ctx[contexts], bias[contexts], ctx[negs], bias[negs]
+                emb[words], ctx[contexts], bias[contexts],
+                ctx[negs], bias[negs],
             )
-            g_w, g_c, g_pb, g_nc, g_nb = grads
+            g_w, g_c, g_cb, g_n, g_nb = grads
+            sub = emb.shape[1]
             updates += [
-                Update("node_embedding", (p_idx, words), g_w, "add"),
-                Update("context_embedding", (p_idx, contexts), g_c, "add"),
-                Update("context_embedding", (p_idx, negs), g_nc, "add"),
-                Update("context_bias", (p_idx, contexts), g_pb, "add"),
-                Update("context_bias", (p_idx, negs), g_nb, "add"),
+                Update(
+                    "node_embedding", (p_idx, words.reshape(-1)),
+                    g_w.reshape(-1, sub), "add",
+                ),
+                Update(
+                    "context_embedding", (p_idx, contexts.reshape(-1)),
+                    g_c.reshape(-1, sub), "add",
+                ),
+                Update(
+                    "context_embedding", (p_idx, negs.reshape(-1)),
+                    g_n.reshape(-1, sub), "add",
+                ),
+                Update(
+                    "context_bias", (p_idx, contexts.reshape(-1)),
+                    g_cb.reshape(-1), "add",
+                ),
+                Update(
+                    "context_bias", (p_idx, negs.reshape(-1)),
+                    g_nb.reshape(-1), "add",
+                ),
             ]
             total = total + loss
         return total, updates
@@ -253,27 +279,56 @@ class WalkletsCBOW(_WalkletsBase):
         length = walks.shape[1]
         for p_idx in range(self._power):
             stride = p_idx + 1
-            words, contexts = self._stride_pairs(walks, stride)
-            n_full = 2 * full_walkers * (length - stride)
+            m = length - stride
+            a = walks[:, :m]
+            c = walks[:, stride:]
+            # Both directions, banded per walk (see WalkletsSkipGram).
+            contexts = jnp.concatenate([a, c], axis=1)   # CBOW input
+            words = jnp.concatenate([c, a], axis=1)      # predicted centre
+            n_full = 2 * full_walkers * m
             emb = params["node_embedding"][p_idx]
             out = params["context_embedding"][p_idx]
             bias = params["context_bias"][p_idx]
 
-            def loss_fn(c_emb, t_emb, t_b, n_emb, n_b):
-                return L.sampled_softmax_loss_per_sample(
-                    c_emb, t_emb, t_b, n_emb, n_b
-                ).sum() / n_full
+            def loss_fn(c_rows, t_rows, t_b, n_rows, n_b):
+                # Sampled softmax, one true class vs the walk's K draws.
+                true_logit = jnp.sum(c_rows * t_rows, axis=-1) + t_b
+                neg_logits = jnp.einsum(
+                    "bmd,bkd->bmk", c_rows, n_rows,
+                    preferred_element_type=jnp.float32,
+                ) + n_b[:, None, :]
+                logits = jnp.concatenate(
+                    [true_logit[..., None], neg_logits], axis=-1
+                )
+                per = -jax.nn.log_softmax(logits, axis=-1)[..., 0]
+                return per.sum() / n_full
 
             loss, grads = jax.value_and_grad(loss_fn, argnums=(0, 1, 2, 3, 4))(
                 emb[contexts], out[words], bias[words], out[negs], bias[negs]
             )
             g_c, g_t, g_tb, g_n, g_nb = grads
+            sub = emb.shape[1]
             updates += [
-                Update("node_embedding", (p_idx, contexts), g_c, "add"),
-                Update("context_embedding", (p_idx, words), g_t, "add"),
-                Update("context_embedding", (p_idx, negs), g_n, "add"),
-                Update("context_bias", (p_idx, words), g_tb, "add"),
-                Update("context_bias", (p_idx, negs), g_nb, "add"),
+                Update(
+                    "node_embedding", (p_idx, contexts.reshape(-1)),
+                    g_c.reshape(-1, sub), "add",
+                ),
+                Update(
+                    "context_embedding", (p_idx, words.reshape(-1)),
+                    g_t.reshape(-1, sub), "add",
+                ),
+                Update(
+                    "context_embedding", (p_idx, negs.reshape(-1)),
+                    g_n.reshape(-1, sub), "add",
+                ),
+                Update(
+                    "context_bias", (p_idx, words.reshape(-1)),
+                    g_tb.reshape(-1), "add",
+                ),
+                Update(
+                    "context_bias", (p_idx, negs.reshape(-1)),
+                    g_nb.reshape(-1), "add",
+                ),
             ]
             total = total + loss
         return total, updates
