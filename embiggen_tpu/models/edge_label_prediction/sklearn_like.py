@@ -17,6 +17,7 @@ class SklearnEdgeLabelPredictionAdapter(AbstractEdgeLabelPredictionModel):
         self,
         model_instance=None,
         edge_embedding_methods: Union[List[str], str] = "Concatenate",
+        use_edge_metrics: bool = False,
         random_state: int = 42,
         **model_kwargs,
     ):
@@ -31,6 +32,11 @@ class SklearnEdgeLabelPredictionAdapter(AbstractEdgeLabelPredictionModel):
             if isinstance(edge_embedding_methods, str)
             else list(edge_embedding_methods)
         )
+        # Support-graph topological metric columns appended to the edge
+        # features (reference
+        # `sklearn_like_edge_label_prediction_adapter.py` `use_edge_metrics`).
+        self._use_edge_metrics = use_edge_metrics
+        self._metrics_support: Optional[Graph] = None
         super().__init__(random_state=random_state)
 
     def _default_model_instance(self, random_state: int, **kwargs):
@@ -50,6 +56,7 @@ class SklearnEdgeLabelPredictionAdapter(AbstractEdgeLabelPredictionModel):
         return {
             **super().parameters(),
             "edge_embedding_methods": self._edge_embedding_methods,
+            "use_edge_metrics": self._use_edge_metrics,
             **self._model_kwargs,
         }
 
@@ -69,8 +76,24 @@ class SklearnEdgeLabelPredictionAdapter(AbstractEdgeLabelPredictionModel):
         )
         self._transformer.fit(feats)
         self._n_classes = graph.number_of_edge_types
-        x, y = self._transformer.transform(graph)
+        self._metrics_support = support if self._use_edge_metrics else None
+        x, y = self._transformer.transform(
+            graph, extra_features_fn=self._edge_metrics_fn()
+        )
         self._model_instance.fit(x, y)
+
+    def _edge_metrics_fn(self):
+        if not self._use_edge_metrics:
+            return None
+        support = self._metrics_support
+        from ...graph.metrics import edge_metrics
+
+        def fn(src: np.ndarray, dst: np.ndarray) -> np.ndarray:
+            m = edge_metrics(support, src, dst)
+            m[:, 3] = np.log1p(m[:, 3])
+            return m
+
+        return fn
 
     def _predict_proba(self, graph: Graph, support: Optional[Graph] = None,
                        **kwargs) -> np.ndarray:
@@ -78,6 +101,11 @@ class SklearnEdgeLabelPredictionAdapter(AbstractEdgeLabelPredictionModel):
         from ...utils.sklearn_compat import predict_proba_compat
 
         x = edge_tr.transform(graph.sources, graph.col_idx)
+        metric_fn = self._edge_metrics_fn()
+        if metric_fn is not None:
+            x = np.concatenate(
+                [x, metric_fn(graph.sources, graph.col_idx)], axis=1
+            )
         proba = predict_proba_compat(self._model_instance, x)
         classes = self._model_instance.classes_
         out = np.zeros((x.shape[0], self._n_classes), dtype=np.float64)

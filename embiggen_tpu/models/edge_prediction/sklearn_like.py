@@ -32,6 +32,7 @@ class SklearnEdgePredictionAdapter(AbstractEdgePredictionModel):
         edge_embedding_methods: Union[List[str], str] = "Concatenate",
         training_unbalance_rate: float = 1.0,
         use_scale_free_distribution: bool = True,
+        use_edge_metrics: bool = False,
         prediction_batch_size: int = PREDICTION_BATCH_SIZE,
         random_state: int = 42,
         **model_kwargs,
@@ -49,6 +50,12 @@ class SklearnEdgePredictionAdapter(AbstractEdgePredictionModel):
         )
         self._training_unbalance_rate = training_unbalance_rate
         self._use_scale_free_distribution = use_scale_free_distribution
+        # Append support-graph topological metrics (Adamic-Adar, Jaccard,
+        # resource allocation, log1p preferential attachment) to the edge
+        # features — reference
+        # `sklearn_like_edge_prediction_adapter.py:26,215-230`.
+        self._use_edge_metrics = use_edge_metrics
+        self._metrics_support: Optional[Graph] = None
         self._prediction_batch_size = prediction_batch_size
         super().__init__(random_state=random_state)
 
@@ -71,6 +78,7 @@ class SklearnEdgePredictionAdapter(AbstractEdgePredictionModel):
             "edge_embedding_methods": self._edge_embedding_methods,
             "training_unbalance_rate": self._training_unbalance_rate,
             "use_scale_free_distribution": self._use_scale_free_distribution,
+            "use_edge_metrics": self._use_edge_metrics,
             **self._model_kwargs,
         }
 
@@ -104,10 +112,31 @@ class SklearnEdgePredictionAdapter(AbstractEdgePredictionModel):
             use_scale_free_distribution=self._use_scale_free_distribution,
             support=support,
         )
+        self._metrics_support = support if self._use_edge_metrics else None
         x, y = self._transformer.transform(
-            graph, neg, shuffle=True, random_state=self.random_state or 42
+            graph, neg, shuffle=True, random_state=self.random_state or 42,
+            extra_features_fn=self._edge_metrics_fn(),
         )
         self._model_instance.fit(x, y)
+
+    def _edge_metrics_fn(self):
+        """Aligned metric-column producer over the fit support graph, or
+        None when `use_edge_metrics` is off."""
+        if not self._use_edge_metrics:
+            return None
+        support = self._metrics_support
+        if support is None:
+            raise ValueError(
+                "use_edge_metrics requires the model to be fitted first."
+            )
+        from ...graph.metrics import edge_metrics
+
+        def fn(src: np.ndarray, dst: np.ndarray) -> np.ndarray:
+            m = edge_metrics(support, src, dst)
+            m[:, 3] = np.log1p(m[:, 3])
+            return m
+
+        return fn
 
     def _predict_proba(self, graph: Graph, support: Optional[Graph] = None,
                        **kwargs) -> np.ndarray:
@@ -121,8 +150,12 @@ class SklearnEdgePredictionAdapter(AbstractEdgePredictionModel):
         out = []
         bs = self._prediction_batch_size
         edge_tr = self._transformer._graph_transformer._edge_transformer
+        metric_fn = self._edge_metrics_fn()
         for i in range(0, len(src), bs):
-            x = edge_tr.transform(src[i: i + bs], dst[i: i + bs])
+            s, d = src[i: i + bs], dst[i: i + bs]
+            x = edge_tr.transform(s, d)
+            if metric_fn is not None:
+                x = np.concatenate([x, metric_fn(s, d)], axis=1)
             proba = predict_proba_compat(self._model_instance, x)
             out.append(proba[:, -1] if proba.ndim == 2 else proba)
         return np.concatenate(out) if out else np.zeros(0)

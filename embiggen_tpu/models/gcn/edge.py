@@ -21,6 +21,8 @@ import numpy as np
 
 from ...graph.graph import DeviceGraph, Graph
 from ...ops import edge_ops
+from ...ops.edge_metrics import N_EDGE_METRICS
+from ...ops.edge_metrics import edge_metrics as device_edge_metrics
 from ...ops.negatives import edge_prediction_mini_batch
 from ..classifier import AbstractClassifierModel
 from ..edge_label_prediction.model import AbstractEdgeLabelPredictionModel
@@ -65,6 +67,7 @@ class _EdgeGCNBase(AbstractClassifierModel):
         node_type_embedding_size: int = 50,
         use_edge_type_embedding: bool = False,
         edge_type_embedding_size: int = 16,
+        use_edge_metrics: bool = False,
         edge_feature_models=None,
         batch_size: Optional[int] = None,
         epochs: int = 200,
@@ -97,6 +100,12 @@ class _EdgeGCNBase(AbstractClassifierModel):
         self._node_type_embedding_size = node_type_embedding_size
         self._use_edge_type_embedding = use_edge_type_embedding
         self._edge_type_embedding_size = edge_type_embedding_size
+        # Append the on-device per-edge topological heuristics (Adamic-Adar,
+        # Jaccard, resource allocation, log1p preferential attachment) to the
+        # edge representation before the head — reference
+        # `abstract_edge_gcn.py:78,319-341` (`use_edge_metrics` threading the
+        # Rust metrics through the training sequence into the Keras model).
+        self._use_edge_metrics = use_edge_metrics
         self._edge_feature_models = (
             list(edge_feature_models) if edge_feature_models else []
         )
@@ -149,6 +158,7 @@ class _EdgeGCNBase(AbstractClassifierModel):
             "node_type_embedding_size": self._node_type_embedding_size,
             "use_edge_type_embedding": self._use_edge_type_embedding,
             "edge_type_embedding_size": self._edge_type_embedding_size,
+            "use_edge_metrics": self._use_edge_metrics,
             "edge_feature_models": self._edge_feature_models,
             "batch_size": self._batch_size,
             "epochs": self._epochs,
@@ -300,6 +310,15 @@ class _EdgeGCNBase(AbstractClassifierModel):
             )
         edge_dim += sum(int(f.shape[1]) for f in self._static_edge_feats)
         edge_dim += sum(int(t.shape[1]) for t in self._edge_type_feat_tables)
+        # Topological edge metrics are computed on the SUPPORT graph (the
+        # reference's training sequences query the support too,
+        # `gcn_edge_prediction_training_sequence.py:174-250`).
+        self._metrics_dg = (
+            support.device(with_weights=False) if self._use_edge_metrics
+            else None
+        )
+        if self._use_edge_metrics:
+            edge_dim += N_EDGE_METRICS
         head = init_mlp(k_head, [edge_dim] + self._head_units + [self._n_outputs])
         params = {
             "embed": embed_params,
@@ -363,6 +382,7 @@ class _EdgeGCNBase(AbstractClassifierModel):
             "lazy_edge_tables": list(
                 getattr(self, "_edge_feature_tables", [])
             ),
+            "metrics_dg": getattr(self, "_metrics_dg", None),
         }
 
     def _encode_nodes(
@@ -494,6 +514,17 @@ class _EdgeGCNBase(AbstractClassifierModel):
                 else jnp.zeros((src.shape[0], table.shape[1]), table.dtype)
             )
             e = jnp.concatenate([e, rows], axis=1)
+        if self._use_edge_metrics:
+            mdg = (
+                get("metrics_dg") if ctx is not None
+                else self._metrics_dg
+            )
+            m = device_edge_metrics(mdg, src, dst)
+            # log1p on preferential attachment (deg*deg reaches ~1e10 on
+            # scale-free graphs; same convention as the perceptron's
+            # feature assembly, `edge_prediction/perceptron.py:145`).
+            m = jnp.concatenate([m[:, :3], jnp.log1p(m[:, 3:4])], axis=1)
+            e = jnp.concatenate([e, m], axis=1)
         type_tables = (
             get("edge_type_feat_tables") if ctx is not None
             else self._edge_type_feat_tables

@@ -35,10 +35,23 @@ class EdgePredictionTransformer:
         negative_graph: Graph,
         shuffle: bool = True,
         random_state: int = 42,
+        extra_features_fn=None,
     ) -> Tuple[np.ndarray, np.ndarray]:
+        """`extra_features_fn(src, dst) -> [B, d]` appends per-pair columns
+        (e.g. support-graph topological metrics for `use_edge_metrics`,
+        reference `sklearn_like_edge_prediction_adapter.py:215-230`) aligned
+        with the stacked pos/neg rows before the shuffle."""
         pos = self._graph_transformer.transform(positive_graph)
         neg = self._graph_transformer.transform(negative_graph)
         x = np.concatenate([pos, neg], axis=0)
+        if extra_features_fn is not None:
+            src = np.concatenate(
+                [positive_graph.sources, negative_graph.sources]
+            )
+            dst = np.concatenate(
+                [positive_graph.col_idx, negative_graph.col_idx]
+            )
+            x = np.concatenate([x, extra_features_fn(src, dst)], axis=1)
         y = np.concatenate(
             [np.ones(len(pos), np.int32), np.zeros(len(neg), np.int32)]
         )
@@ -66,7 +79,8 @@ class EdgeLabelPredictionTransformer:
         return self
 
     def transform(
-        self, graph: Graph, shuffle: bool = False, random_state: int = 42
+        self, graph: Graph, shuffle: bool = False, random_state: int = 42,
+        extra_features_fn=None,
     ) -> Tuple[np.ndarray, np.ndarray]:
         if graph.edge_types is None:
             raise ValueError("Graph has no edge types.")
@@ -75,6 +89,8 @@ class EdgeLabelPredictionTransformer:
         dst = graph.col_idx[known]
         y = graph.edge_types[known]
         x = self._edge_transformer.transform(src, dst)
+        if extra_features_fn is not None:
+            x = np.concatenate([x, extra_features_fn(src, dst)], axis=1)
         if shuffle:
             rng = np.random.default_rng(random_state)
             perm = rng.permutation(len(x))

@@ -124,3 +124,104 @@ def test_combinatorial_edge_label_gcn(er_graph):
     proba = model.predict_proba(g)
     assert proba.shape == (g.number_of_directed_edges, g.number_of_edge_types)
     assert np.isfinite(proba).all()
+
+
+def test_edge_gcn_use_edge_metrics(er_graph):
+    """`use_edge_metrics` appends the 4 on-device topological heuristics to
+    the edge representation (reference `abstract_edge_gcn.py:78,319-341`),
+    composing with every other feature class."""
+    rng = np.random.default_rng(2)
+    g = er_graph
+    model = GCNEdgePrediction(
+        units=[8], tower_units=[8], head_units=[8], epochs=3, batch_size=64,
+        use_edge_metrics=True,
+        use_edge_type_embedding=True, edge_type_embedding_size=4,
+        random_state=0,
+    )
+    model.fit(
+        g,
+        node_features=_feat(rng, g.number_of_nodes, 6),
+        edge_features=_feat(rng, g.number_of_directed_edges, 4),
+    )
+    assert model.parameters()["use_edge_metrics"] is True
+    scores = model.predict_proba(g)
+    assert scores.shape[0] == g.number_of_directed_edges
+    assert np.isfinite(scores).all()
+    # Head input dim grew by exactly N_EDGE_METRICS vs the same model
+    # without metrics.
+    from embiggen_tpu.ops.edge_metrics import N_EDGE_METRICS
+
+    base = GCNEdgePrediction(
+        units=[8], tower_units=[8], head_units=[8], epochs=1, batch_size=64,
+        use_edge_type_embedding=True, edge_type_embedding_size=4,
+        random_state=0,
+    )
+    base.fit(
+        g,
+        node_features=_feat(rng, g.number_of_nodes, 6),
+        edge_features=_feat(rng, g.number_of_directed_edges, 4),
+    )
+    dim_with = model._params["head"][0]["w"].shape[0]
+    dim_without = base._params["head"][0]["w"].shape[0]
+    assert dim_with == dim_without + N_EDGE_METRICS
+    # Non-edge pairs score too (metrics are defined for any pair).
+    s = model.predict_proba_from_edge_node_ids(
+        np.array([0, 5, 9]), np.array([7, 2, 11])
+    )
+    assert s.shape == (3,) and np.isfinite(s).all()
+
+
+def test_edge_label_gcn_use_edge_metrics(er_graph):
+    rng = np.random.default_rng(3)
+    g = er_graph
+    model = GCNEdgeLabelPrediction(
+        units=[8], tower_units=[8], head_units=[8], epochs=2, batch_size=64,
+        use_edge_metrics=True, random_state=0,
+    )
+    model.fit(g, node_features=_feat(rng, g.number_of_nodes, 6))
+    proba = model.predict_proba(g)
+    assert proba.shape == (g.number_of_directed_edges, g.number_of_edge_types)
+    assert np.isfinite(proba).all()
+
+
+def test_sklearn_adapters_use_edge_metrics(er_graph):
+    """Sklearn-like adapters append support-graph metric columns to X
+    (reference `sklearn_like_edge_prediction_adapter.py:26,215-230`)."""
+    from embiggen_tpu.models.edge_label_prediction.sklearn_like import (
+        SklearnEdgeLabelPredictionAdapter,
+    )
+    from embiggen_tpu.models.edge_prediction.sklearn_like import (
+        SklearnEdgePredictionAdapter,
+    )
+    from sklearn.linear_model import LogisticRegression
+
+    rng = np.random.default_rng(4)
+    g = er_graph
+    feats = _feat(rng, g.number_of_nodes, 8)
+
+    m = SklearnEdgePredictionAdapter(
+        model_instance=LogisticRegression(max_iter=200),
+        edge_embedding_methods="Hadamard",
+        use_edge_metrics=True,
+        random_state=0,
+    )
+    m.fit(g, node_features=feats)
+    assert m.parameters()["use_edge_metrics"] is True
+    # 8 Hadamard dims + 4 metric columns reached the estimator.
+    assert m._model_instance.n_features_in_ == 8 + 4
+    p = m.predict_proba_from_edge_node_ids(
+        np.array([0, 1, 2]), np.array([3, 4, 5])
+    )
+    assert p.shape == (3,) and np.isfinite(p).all()
+
+    ml = SklearnEdgeLabelPredictionAdapter(
+        model_instance=LogisticRegression(max_iter=200),
+        edge_embedding_methods="Hadamard",
+        use_edge_metrics=True,
+        random_state=0,
+    )
+    ml.fit(g, node_features=feats)
+    assert ml._model_instance.n_features_in_ == 8 + 4
+    proba = ml.predict_proba(g)
+    assert proba.shape == (g.number_of_directed_edges, g.number_of_edge_types)
+    assert np.isfinite(proba).all()
