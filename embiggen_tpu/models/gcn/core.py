@@ -135,12 +135,14 @@ class GCNEncoder:
         combiner: str = "sum",
         dropout_rate: float = 0.5,
         residual: bool = False,
+        handling_multi_graph: str = "warn",
     ):
         self.kernel_names = list(kernel_names) if kernel_names else []
         self.units = list(units)
         self.combiner = combiner
         self.dropout_rate = dropout_rate
         self.residual = residual
+        self.handling_multi_graph = handling_multi_graph
         self._halo_mesh = None
         self._halo_axis = None
 
@@ -173,6 +175,13 @@ class GCNEncoder:
         (split, kernel name), not once per model — and models sharing a
         kernel (e.g. Kipf edge- and node-label GCNs both use the Symmetric
         Normalized Laplacian) share the device arrays too."""
+        if self.kernel_names:
+            # Multigraph/singleton policy runs pre-cache so "raise"/"warn"
+            # fire even when the relaid-out kernel is already cached
+            # (reference `abstract_gcn.py:97-118`).
+            from ...graph.laplacians import validate_convolution_graph
+
+            validate_convolution_graph(graph, self.handling_multi_graph)
         return [
             _cached_kernel(graph, name, self._halo_mesh, self._halo_axis)
             for name in self.kernel_names

@@ -76,6 +76,7 @@ class _EdgeGCNBase(AbstractClassifierModel):
         mesh=None,
         checkpoint_dir: Optional[str] = None,
         checkpoint_interval: int = 10,
+        handling_multi_graph: str = "warn",
         random_state: int = 42,
     ):
         # `mesh` (None | "auto" | int | jax.sharding.Mesh) trains the REAL
@@ -83,6 +84,7 @@ class _EdgeGCNBase(AbstractClassifierModel):
         # per conv layer (`parallel/halo.py`), replicated weights. Seeded
         # sharded fits match single-chip fits to float-reduction tolerance.
         self._mesh = mesh
+        self._handling_multi_graph = handling_multi_graph
         self._kernels = (
             list(kernels) if kernels is not None else list(self.DEFAULT_KERNELS)
         )
@@ -166,6 +168,7 @@ class _EdgeGCNBase(AbstractClassifierModel):
             "early_stopping_patience": self._early_stopping_patience,
             "checkpoint_dir": self._checkpoint_dir,
             "checkpoint_interval": self._checkpoint_interval,
+            "handling_multi_graph": self._handling_multi_graph,
         }
 
     @classmethod
@@ -205,6 +208,7 @@ class _EdgeGCNBase(AbstractClassifierModel):
             combiner=self._combiner,
             dropout_rate=self._dropout_rate,
             residual=self._residual,
+            handling_multi_graph=self._handling_multi_graph,
         )
         if self._resolved_mesh is not None:
             self._encoder.enable_halo(
@@ -408,7 +412,8 @@ class _EdgeGCNBase(AbstractClassifierModel):
         )
 
     def _chunked_logits(
-        self, src: np.ndarray, dst: np.ndarray, chunk: int = 1 << 20
+        self, src: np.ndarray, dst: np.ndarray, chunk: int = 1 << 20,
+        representation: bool = False,
     ) -> np.ndarray:
         """Inference logits for an arbitrary candidate set: the convolution
         runs ONCE, then (src, dst) pairs are scored in fixed-size chunks
@@ -438,9 +443,16 @@ class _EdgeGCNBase(AbstractClassifierModel):
                         params, h, s, d, ctx=ctx
                     )
                 ),
+                jax.jit(
+                    lambda params, h, s, d, ctx: self._score_edges(
+                        params, h, s, d, ctx=ctx,
+                        return_representation=True,
+                    )
+                ),
             )
             _PREDICT_JITS[self] = got
-        encode, score = got
+        encode = got[0]
+        score = got[2] if representation else got[1]
         # The convolved node representations depend only on the fitted
         # params (dropout off at inference) — the evaluation loop predicts
         # train/test/negative sets back to back, so cache h per params
@@ -472,11 +484,16 @@ class _EdgeGCNBase(AbstractClassifierModel):
             outs.append(np.asarray(out)[:take])
         return np.concatenate(outs, axis=0)
 
-    def _score_edges(self, params, h, src, dst, edge_types=None, ctx=None):
+    def _score_edges(self, params, h, src, dst, edge_types=None, ctx=None,
+                     return_representation=False):
         """Towers → edge combination → feature concat → head for a batch of
         (src, dst) pairs over precomputed node representations `h` (the
         per-edge half of `_edge_logits` — inference runs it over chunks so
-        candidate sets of any size score in bounded memory)."""
+        candidate sets of any size score in bounded memory).
+        `return_representation` yields the pre-head edge representation
+        instead of logits (the reference's beheaded edge model,
+        `abstract_edge_gcn.py:908-927`: output = the EdgeFeaturesDropout
+        input, i.e. the combined edge embedding + features)."""
         get = (ctx or {}).get
         h_src = apply_mlp(params["src_tower"], h[src], final_activation=jax.nn.relu)
         dst_tower = params.get("dst_tower", params["src_tower"])
@@ -541,7 +558,32 @@ class _EdgeGCNBase(AbstractClassifierModel):
                 e = jnp.concatenate(
                     [e, params["edge_type_embedding"][et + 1]], axis=1
                 )
+        if return_representation:
+            return e
         return apply_mlp(params["head"], e)
+
+    # ------------------------------------------------ beheaded edge model
+    def transform_edges_from_edge_node_ids(
+        self, src: np.ndarray, dst: np.ndarray
+    ) -> np.ndarray:
+        """Pre-head edge representations for arbitrary (src, dst) pairs —
+        the fitted edge GCN as a feature extractor (reference
+        `into_beheaded_edge_model`, `abstract_edge_gcn.py:908-927`)."""
+        return self._chunked_logits(src, dst, representation=True)
+
+    def transform_edges(self, graph: Graph):
+        """Edge embeddings for every arc of `graph` as an EmbeddingResult
+        (the beheaded-model workflow: extract the edge-embedding layer of a
+        fitted edge GCN and reuse it downstream)."""
+        from ..embedding_result import EmbeddingResult
+
+        reps = self.transform_edges_from_edge_node_ids(
+            graph.sources, graph.col_idx
+        )
+        return EmbeddingResult(
+            embedding_method_name=f"Beheaded {self.model_name()}",
+            edge_embeddings=[reps],
+        )
 
 
 class GCNEdgePrediction(_EdgeGCNBase, AbstractEdgePredictionModel):

@@ -54,11 +54,13 @@ class GCNNodeLabelPrediction(AbstractNodeLabelPredictionModel):
         mesh=None,
         checkpoint_dir: Optional[str] = None,
         checkpoint_interval: int = 10,
+        handling_multi_graph: str = "warn",
         random_state: int = 42,
     ):
         # `mesh`: multi-chip fit via node-partitioned halo-exchange SpMM
         # (see _EdgeGCNBase); seeded sharded fits match single-chip fits.
         self._mesh = mesh
+        self._handling_multi_graph = handling_multi_graph
         self._kernels = (
             list(kernels) if kernels is not None else list(self.DEFAULT_KERNELS)
         )
@@ -115,6 +117,7 @@ class GCNNodeLabelPrediction(AbstractNodeLabelPredictionModel):
             "early_stopping_patience": self._early_stopping_patience,
             "checkpoint_dir": self._checkpoint_dir,
             "checkpoint_interval": self._checkpoint_interval,
+            "handling_multi_graph": self._handling_multi_graph,
         }
 
     @classmethod
@@ -142,6 +145,7 @@ class GCNNodeLabelPrediction(AbstractNodeLabelPredictionModel):
             combiner=self._combiner,
             dropout_rate=self._dropout_rate,
             residual=self._residual,
+            handling_multi_graph=self._handling_multi_graph,
         )
         if self._resolved_mesh is not None:
             self._encoder.enable_halo(

@@ -155,3 +155,106 @@ def test_kernel_cache_shared_across_models(karate):
     )
     m3.fit(clone)
     assert len(gcn_core._KERNEL_CACHE) == 1
+
+
+def test_beheaded_edge_model(karate):
+    """A fitted edge GCN works as an edge-feature extractor (reference
+    `into_beheaded_edge_model`, `abstract_edge_gcn.py:908-927`): the
+    pre-head edge representation is exposed via transform_edges /
+    transform_edges_from_edge_node_ids and feeds a sklearn estimator."""
+    from embiggen_tpu.graph.sampling import sample_negative_graph
+    from embiggen_tpu.models.gcn import KipfGCNEdgePrediction
+    from sklearn.linear_model import LogisticRegression
+
+    g = karate
+    model = KipfGCNEdgePrediction(
+        units=[8], tower_units=[8], head_units=[8], epochs=5, batch_size=64,
+        random_state=0,
+    )
+    model.fit(g)
+    res = model.transform_edges(g)
+    reps = res.edge_embeddings[0]
+    expected_dim = model._params["head"][0]["w"].shape[0]
+    assert reps.shape == (g.number_of_directed_edges, expected_dim)
+    assert np.isfinite(np.asarray(reps)).all()
+
+    # Arbitrary pairs (incl. non-edges) embed too.
+    pair_reps = model.transform_edges_from_edge_node_ids(
+        np.array([0, 1, 2]), np.array([33, 32, 30])
+    )
+    assert pair_reps.shape == (3, expected_dim)
+
+    # Extracted features train a downstream sklearn classifier.
+    neg = sample_negative_graph(
+        g, number_of_negative_samples=g.number_of_edges, random_state=0
+    )
+    x_pos = np.asarray(reps)
+    x_neg = model.transform_edges_from_edge_node_ids(
+        neg.sources, neg.col_idx
+    )
+    x = np.concatenate([x_pos, x_neg])
+    y = np.concatenate([np.ones(len(x_pos)), np.zeros(len(x_neg))])
+    clf = LogisticRegression(max_iter=300).fit(x, y)
+    auroc = binary_auroc(y, clf.predict_proba(x)[:, 1])
+    assert auroc > 0.6
+
+
+def test_multigraph_singleton_kernel_policy():
+    """Multigraph policy drop/warn/raise + duplicate-arc dedup + singleton
+    warning in the propagation kernels (reference
+    `abstract_gcn.py:97-118,228`)."""
+    import warnings
+
+    from embiggen_tpu.graph import Graph
+    from embiggen_tpu.graph.laplacians import (
+        kernel_coo,
+        validate_convolution_graph,
+    )
+    from embiggen_tpu.models.gcn import KipfGCNEdgePrediction
+
+    # Parallel arc 0->1 (x2) plus a triangle; node 4 is a singleton.
+    src = np.array([0, 0, 0, 1, 1, 2, 2, 3])
+    dst = np.array([1, 1, 2, 0, 2, 0, 1, 0])
+    g = Graph.from_edge_arrays(
+        src, dst, n_nodes=5, directed=True, deduplicate=False,
+        weights=np.ones(len(src), np.float32),
+    )
+    assert g.is_multigraph()
+
+    # Dedup: the parallel arc contributes ONCE to the kernel.
+    rows, cols, vals = kernel_coo(g, "Weights")
+    assert len(rows) == 7
+    pair_count = np.sum((rows == 0) & (cols == 1))
+    assert pair_count == 1
+
+    with pytest.warns(UserWarning, match="deduplicated|singleton"):
+        validate_convolution_graph(g, "warn")
+    with pytest.raises(ValueError, match="multigraph"):
+        validate_convolution_graph(g, "raise")
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        # "drop" stays silent about the multigraph; the singleton still
+        # warns, so filter it specifically.
+        warnings.filterwarnings("ignore", message=".*singleton.*")
+        validate_convolution_graph(g, "drop")
+    with pytest.raises(ValueError, match="handling_multi_graph"):
+        validate_convolution_graph(g, "explode")
+
+    # The policy rides the model param into build_kernels.
+    model = KipfGCNEdgePrediction(
+        units=[4], tower_units=[4], head_units=[4], epochs=1, batch_size=16,
+        handling_multi_graph="raise", random_state=0,
+    )
+    assert model.parameters()["handling_multi_graph"] == "raise"
+    # fit wraps in the enriched RuntimeError (classifier.py:308).
+    with pytest.raises(RuntimeError, match="multigraph"):
+        model.fit(g)
+
+    # warn policy trains through (parallel arcs deduplicated).
+    model2 = KipfGCNEdgePrediction(
+        units=[4], tower_units=[4], head_units=[4], epochs=1, batch_size=16,
+        handling_multi_graph="warn", random_state=0,
+    )
+    with pytest.warns(UserWarning):
+        model2.fit(g)
+    assert np.isfinite(model2.predict_proba(g)).all()
