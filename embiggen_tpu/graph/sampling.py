@@ -79,7 +79,11 @@ def _sample_negative_graph(
     # validation dominated at bench scale (VERDICT r3 item 4).
     # Arc SOURCES are out-degree-distributed (matching the old
     # degrees-weighted draw exactly, directed graphs included).
-    arc_dst = support.sources
+    # The distribution comes from the SAMPLED graph's arcs — `support`
+    # only contributes the edges to avoid. The two differ when sampling
+    # negatives restricted to a subgraph of interest
+    # (`edge_prediction_model.py:138-141`: sampler_graph vs graph_to_avoid).
+    arc_dst = graph.sources
     n_arcs = len(arc_dst)
     scale_free = use_scale_free_distribution and n_arcs > 0
 

@@ -79,10 +79,16 @@ class AbstractEdgePredictionModel(AbstractClassifierModel):
         unbalance_rates: Sequence[float] = (1.0,),
         use_scale_free_distribution: bool = True,
         random_state: int = 42,
+        subgraph_of_interest: Optional[Graph] = None,
         **kwargs,
     ) -> List[Dict[str, Any]]:
         """Rows = {train, test} × unbalance rates with the full binary panel
-        (reference `edge_prediction_model.py:231-364`)."""
+        (reference `edge_prediction_model.py:231-364`).
+
+        With `subgraph_of_interest` (already in `graph`'s node-id space),
+        evaluation negatives are drawn from the SUBGRAPH's node/degree
+        distribution while still avoiding every edge of the full graph —
+        reference `edge_prediction_model.py:138-141` (sampler_graph)."""
         if not use_scale_free_distribution:
             warnings.warn(
                 "Using uniform negative sampling for evaluation; the model "
@@ -101,7 +107,8 @@ class AbstractEdgePredictionModel(AbstractClassifierModel):
             ):
                 n_neg = max(1, int(round(pos_graph.number_of_edges * unbalance)))
                 neg = sample_negative_graph(
-                    graph,
+                    subgraph_of_interest
+                    if subgraph_of_interest is not None else graph,
                     number_of_negative_samples=n_neg,
                     random_state=random_state + seed_off,
                     use_scale_free_distribution=use_scale_free_distribution,

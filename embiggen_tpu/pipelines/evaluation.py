@@ -140,6 +140,35 @@ class _HoldoutMemo:
         return self._memo[holdout_number]
 
 
+def _align_subgraph(graph: Graph, subgraph: Graph) -> Graph:
+    """Bring a subgraph of interest into `graph`'s node-id space.
+
+    The reference remaps ids and re-aligns features when the subgraph has a
+    different node dictionary (`abstract_classifier_model.py:2510-2535`);
+    keeping the full graph's id space instead makes the intersection, the
+    holdout features, and the restricted negative sampler all share one
+    vocabulary with no remapping. Unknown node names raise."""
+    g_names = graph.get_node_names()
+    s_names = subgraph.get_node_names()
+    if len(g_names) == len(s_names) and bool(
+        np.all(np.asarray(g_names) == np.asarray(s_names))
+    ):
+        return subgraph
+    ids = graph.get_node_ids_from_names(list(s_names)).astype(np.int64)
+    return Graph.from_edge_arrays(
+        ids[subgraph.sources],
+        ids[subgraph.col_idx],
+        n_nodes=graph.number_of_nodes,
+        weights=subgraph.weights,
+        edge_types=subgraph.edge_types,
+        directed=True,
+        directed_flag=subgraph.directed,
+        name=subgraph.name,
+        node_names=g_names,
+        edge_type_names=subgraph.edge_type_names,
+    )
+
+
 def evaluate_model_on_graph(
     model: AbstractClassifierModel,
     graph: Graph,
@@ -157,18 +186,33 @@ def evaluate_model_on_graph(
     enable_cache: bool = False,
     cache_dir: Optional[str] = None,
     profile_dir: Optional[str] = None,
+    subgraph_of_interest: Optional[Graph] = None,
+    use_subgraph_as_support: bool = False,
     **evaluation_kwargs,
 ):
     """The model-level holdout harness (reference
     `AbstractClassifierModel.evaluate`, `abstract_classifier_model.py:2626`):
     rows = holdouts × {train, test} [× unbalances] for ONE model on ONE
     graph, cached as a whole when `enable_cache`. With `profile_dir`, each
-    holdout's fit runs under a JAX profiler trace (TensorBoard format)."""
+    holdout's fit runs under a JAX profiler trace (TensorBoard format).
+
+    With `subgraph_of_interest`, every holdout's train/test is restricted to
+    the subgraph's edge set (e.g. evaluate only disease-gene edges of a big
+    KG); the model fits on the restricted train with the UNRESTRICTED train
+    as support (unless `use_subgraph_as_support`), and for edge prediction
+    the evaluation negatives are drawn from the subgraph's node/degree
+    distribution — reference `abstract_classifier_model.py:2135,2405-2561`,
+    `edge_prediction_model.py:138-141`."""
     import pandas as pd
 
     from ..parallel.distributed import holdout_belongs_to_this_worker
     from ..utils import profiling
 
+    sub_aligned = (
+        _align_subgraph(graph, subgraph_of_interest)
+        if subgraph_of_interest is not None
+        else None
+    )
     # The top cache layer must be off across workers: they'd race writing
     # the same file (reference `utils/pipeline.py:224-231`).
     use_cache = enable_cache and number_of_workers is None
@@ -179,9 +223,13 @@ def evaluate_model_on_graph(
             for f in (node_features, node_type_features,
                       edge_type_features, edge_features)
         )
+        key_kwargs = dict(evaluation_kwargs)
+        if sub_aligned is not None:
+            key_kwargs["subgraph_of_interest"] = sub_aligned.consistent_hash()
+            key_kwargs["use_subgraph_as_support"] = use_subgraph_as_support
         path = experiment_cache_path(
             model, graph, evaluation_schema, holdouts_number, random_state,
-            feat_key, evaluation_kwargs, cache_dir,
+            feat_key, key_kwargs, cache_dir,
         )
         if os.path.exists(path):
             return pd.read_csv(path, compression="gzip")
@@ -201,6 +249,32 @@ def evaluate_model_on_graph(
         train, test, features, split_time, feature_time = memo.get(
             model, holdout_number
         )
+        if sub_aligned is not None:
+            train_oi = train & sub_aligned
+            test_oi = test & sub_aligned
+            if model.task_name() in (
+                "Edge Prediction", "Edge Label Prediction"
+            ):
+                for part, part_name in (
+                    (train_oi, "train"), (test_oi, "test")
+                ):
+                    if part.number_of_directed_edges == 0:
+                        raise ValueError(
+                            f"The {part_name} graph of holdout "
+                            f"{holdout_number}, once restricted to the "
+                            f"subgraph of interest "
+                            f"{sub_aligned.name!r}, has no edges left — "
+                            f"essential for a {model.task_name()} task "
+                            "(reference "
+                            "abstract_classifier_model.py:2541-2556)."
+                        )
+        else:
+            train_oi, test_oi = train, test
+        fit_support = (
+            train_oi
+            if (sub_aligned is not None and use_subgraph_as_support)
+            else train
+        )
         m = model.clone()
         if m.is_stochastic():
             m.set_random_state(random_state + holdout_number)
@@ -212,7 +286,7 @@ def evaluate_model_on_graph(
         )
         with fit_ctx, profiling.annotate(f"fit:{m.model_name()}"):
             m.fit(
-                train, support=train, node_features=features,
+                train_oi, support=fit_support, node_features=features,
                 node_type_features=node_type_features,
                 edge_type_features=edge_type_features,
                 edge_features=edge_features,
@@ -221,10 +295,11 @@ def evaluate_model_on_graph(
         t_eval = time.perf_counter()
         rows = m._evaluate(
             graph,
-            train,
-            test,
-            support=train,
+            train_oi,
+            test_oi,
+            support=fit_support,
             random_state=random_state + holdout_number,
+            subgraph_of_interest=sub_aligned,
             **evaluation_kwargs,
         )
         eval_time = time.perf_counter() - t_eval

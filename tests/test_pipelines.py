@@ -145,3 +145,78 @@ def test_perceptron_bipartite_clique(karate):
     cl = model.predict_proba_clique_graph_from_node_ids(np.arange(5))
     assert cl.shape == (5, 5)
     assert ((bi >= 0) & (bi <= 1)).all()
+
+
+def test_subgraph_of_interest_evaluation(er_graph):
+    """Edge-prediction evaluation restricted to a subgraph of interest (one
+    node-type pair): positives come only from the subgraph's edges,
+    negatives from the subgraph's node/degree distribution — reference
+    `abstract_classifier_model.py:2135,2405-2561`,
+    `edge_prediction_model.py:138-141`."""
+    from embiggen_tpu.graph.sampling import sample_negative_graph
+    from embiggen_tpu.pipelines.evaluation import _align_subgraph
+
+    g = er_graph
+    nt = g.get_single_label_node_type_ids()
+    src_t, dst_t = nt[g.sources], nt[g.col_idx]
+    mask = ((src_t == 0) & (dst_t == 1)) | ((src_t == 1) & (dst_t == 0))
+    sub = g.filter_edges(mask, name="type0-type1")
+    assert 0 < sub.number_of_directed_edges < g.number_of_directed_edges
+
+    df = edge_prediction_evaluation(
+        holdouts_number=2,
+        models=PerceptronEdgePrediction(
+            edge_features=["Degree", "AdamicAdar"],
+            number_of_epochs=30,
+            random_state=0,
+        ),
+        graphs=g,
+        evaluation_schema="Connected Monte Carlo",
+        random_state=3,
+        subgraph_of_interest=sub,
+    )
+    assert len(df) == 2 * 2
+    # train + test positives of each holdout == the subgraph arcs surviving
+    # the split (never more than the subgraph itself).
+    for _, hold in df.groupby("holdout_number"):
+        total_pos = hold["size_of_positive_set"].sum()
+        assert 0 < total_pos <= sub.number_of_directed_edges
+    assert np.isfinite(df["auprc"]).all()
+
+    # The evaluation negatives ride the subgraph's degree distribution:
+    # every sampled endpoint is active in the subgraph.
+    neg = sample_negative_graph(
+        sub, number_of_negative_samples=64, random_state=7, support=g
+    )
+    active = np.nonzero(np.asarray(sub.degrees) > 0)[0]
+    assert np.isin(neg.sources, active).all()
+    assert np.isin(neg.col_idx, active).all()
+    # ... and avoid the FULL graph's edges.
+    assert not g.has_edges_fast(neg.sources, neg.col_idx).any()
+
+    # A subgraph with its own node dictionary is aligned by names.
+    keep_names = [
+        str(n) for n in np.asarray(g.get_node_names())[np.isin(nt, (0, 1))]
+    ]
+    sub_remapped = g.filter_from_names(node_names_to_keep=keep_names)
+    aligned = _align_subgraph(g, sub_remapped)
+    assert aligned.number_of_nodes == g.number_of_nodes
+    assert aligned.number_of_directed_edges == sub_remapped.number_of_directed_edges
+    # Every aligned arc is a real arc of the full graph.
+    assert g.has_edges_fast(aligned.sources, aligned.col_idx).all()
+
+
+def test_subgraph_of_interest_empty_raises(er_graph):
+    g = er_graph
+    # A subgraph whose edges never survive the split restriction: empty.
+    sub = g.filter_edges(np.zeros(g.number_of_directed_edges, bool))
+    with pytest.raises(ValueError, match="no edges left"):
+        edge_prediction_evaluation(
+            holdouts_number=1,
+            models=PerceptronEdgePrediction(
+                edge_features=["Degree"], number_of_epochs=5, random_state=0
+            ),
+            graphs=g,
+            random_state=3,
+            subgraph_of_interest=sub,
+        )
