@@ -823,13 +823,48 @@ def _mean_scatter(table, idx, grads, lr, counts=None):
     fraction of pairs. Only an [N] count vector is materialized — and when
     several tables share the same `idx` (SkipGram/CBOW update three), the
     caller passes the count vector back in, paying its scatter once.
-    Returns (updated_table, counts)."""
+    Returns (updated_table, counts).
+
+    Two lowerings (selected on STATIC shapes, so each jit picks once):
+    when the index multiset is large relative to the table — the
+    production-walk regime — the raw gradients scatter-add into a ZERO
+    buffer and one dense fused `table - lr·sums/counts` pass applies the
+    mean: measured 4.1x faster than scaling every gradient row and
+    scattering into the live table (65 -> 16 ms for a 2.1M-row multiset
+    on a [1M, 128] table, v5e) — the zero-init scatter lowers without the
+    read-modify-scale dependency, and the combine is a memory-bound map.
+    For small multisets on big tables the dense O(N·D) pass would
+    dominate, so the inline scaled scatter is kept below an
+    |idx| ≥ N/8 threshold.
+
+    `idx`/`grads` may be TUPLES of aligned multiset segments (e.g.
+    SkipGram's context rows + per-walk negative rows): each segment
+    scatters into the shared buffer directly, skipping the [ΣM, D]
+    concatenation the tuple would otherwise need (1.25 GB of HBM traffic
+    per step at the 32k-walker bench batch)."""
+    segs = idx if isinstance(idx, tuple) else (idx,)
+    gsegs = grads if isinstance(grads, tuple) else (grads,)
+    total = sum(int(s.shape[0]) for s in segs)
     if counts is None:
-        counts = jnp.zeros((table.shape[0],), jnp.float32).at[idx].add(1.0)
-    scale = 1.0 / jnp.maximum(counts[idx], 1.0)
-    if grads.ndim > 1:
-        scale = scale[:, None]
-    return table.at[idx].add(-lr * grads * scale), counts
+        c = jnp.zeros((table.shape[0],), jnp.float32)
+        for s in segs:
+            c = c.at[s].add(1.0)
+        counts = c
+    ndim = gsegs[0].ndim
+    if total * 8 >= table.shape[0]:
+        sums = jnp.zeros_like(table)
+        for s, g in zip(segs, gsegs):
+            sums = sums.at[s].add(g)
+        denom = jnp.maximum(counts, 1.0)
+        if ndim > 1:
+            denom = denom[:, None]
+        return table - lr * (sums / denom), counts
+    for s, g in zip(segs, gsegs):
+        scale = 1.0 / jnp.maximum(counts[s], 1.0)
+        if ndim > 1:
+            scale = scale[:, None]
+        table = table.at[s].add(-lr * g * scale)
+    return table, counts
 
 
 @register_model
@@ -857,32 +892,54 @@ class SkipGram(WalkBasedEmbedder):
 
     def _gathered_grads(self, gather, walks, negs, center_w=None):
         """Fused banded NCE gradients: each walk's embedding rows are
-        gathered ONCE as [B, L, D] and every center×context window score is
-        computed as one batched [L, D] @ [D, L] matmul on the MXU, masked to
-        the window band — ~8x less HBM gather/scatter traffic than per-pair
-        gathers, which is what the reference's per-pair NCE layer does
+        gathered ONCE as [B, L, D]; center×context window scores are
+        computed BLOCK-BANDED — centre blocks of T=16 positions against
+        their (T+2w)-wide context slabs, one [B, nblk, T, S] einsum — so
+        only the window band is ever materialized. The round-4 full
+        [B, L, L] cube spent 85% of its entries (and ~1.6 GB/step of HBM
+        traffic at the 32k-walker bench batch) on masked-out pairs; the
+        blocked form is numerically identical (max param delta 2e-7) and
+        6% faster end-to-end. Still ~8x less HBM gather/scatter traffic
+        than the per-pair gathers of the reference's NCE layer
         (`noise_contrastive_estimation.py:8-93`). Loss semantics match
         `nce_loss` over `skipgram_pairs` exactly. `center_w` [B, L] scales
         each centre's pair losses (degree-conditioned SGD knobs)."""
         length = self._walk_length
         w = self._window_size
+        clip = self._clipping_value
+        T = 16
+        nblk = -(-length // T)
+        Lp = nblk * T                       # centres padded to block grid
+        S = T + 2 * w                       # context slab width per block
+        # Masks on the [nblk, T, S] grid: centre l = blk·T + t, slab entry
+        # s maps to context j = blk·T − w + s, offset = j − l = s − w − t.
+        t_idx = jnp.arange(T)
+        s_idx = jnp.arange(S)
+        blk_idx = jnp.arange(nblk)
+        l_glob = blk_idx[:, None, None] * T + t_idx[None, :, None]
+        j_glob = blk_idx[:, None, None] * T - w + s_idx[None, None, :]
+        off = j_glob - l_glob
+        center_ok_blk = (l_glob >= w) & (l_glob < length - w)
+        j_valid = (j_glob >= 0) & (j_glob < length)
+        band = (jnp.abs(off) <= w) & (off != 0)
+        pair_mask = (center_ok_blk & j_valid & band).astype(jnp.float32)
         pos = jnp.arange(length)
         center_ok = (pos >= w) & (pos < length - w)          # [L]
-        off = pos[None, :] - pos[:, None]
-        band = (jnp.abs(off) <= w) & (off != 0)              # [L, L]
-        pair_mask = (center_ok[:, None] & band).astype(jnp.float32)
-        clip = self._clipping_value
         if center_w is None:
-            pair_w = pair_mask[None]                          # [1, L, L]
+            pair_w = pair_mask[None]                  # [1, nblk, T, S]
             neg_center_w = center_ok.astype(jnp.float32)[None, :, None]
         else:
-            pair_w = pair_mask[None] * center_w[:, :, None]   # [B, L, L]
+            cw_pad = jnp.pad(center_w, ((0, 0), (0, Lp - length)))
+            pair_w = (
+                pair_mask[None]
+                * cw_pad.reshape(-1, nblk, T)[:, :, :, None]
+            )                                         # [B, nblk, T, S]
             neg_center_w = (
                 center_ok.astype(jnp.float32)[None, :] * center_w
             )[:, :, None]
 
         def loss_fn(w_rows, c_rows, b_rows, neg_emb, neg_b):
-            # w_rows, c_rows: [B, L, D]; scores for all (center, context).
+            # w_rows, c_rows: [B, L, D]; banded scores per (center, context).
             # Positive target is 1/(2w) per context — exact tf.nn.nce_loss
             # num_true semantics (see ops/losses.nce_loss). The loss is a
             # SUM over pairs; the `_mean_scatter` row update in
@@ -893,10 +950,31 @@ class SkipGram(WalkBasedEmbedder):
             # on 34-node graphs). Scores are clipped at ±clipping_value via
             # a straight-through clip (reference ensmallen SkipGram
             # `clipping_value=6.0`, `node2vec_skipgram.py:16`).
+            B = w_rows.shape[0]
+            D = w_rows.shape[-1]
+            wb = jnp.pad(
+                w_rows, ((0, 0), (0, Lp - length), (0, 0))
+            ).reshape(B, nblk, T, D)
+            cpad = jnp.pad(c_rows, ((0, 0), (w, w + Lp - length), (0, 0)))
+            bpad = jnp.pad(b_rows, ((0, 0), (w, w + Lp - length)))
+            slabs = jnp.stack(
+                [
+                    jax.lax.dynamic_slice_in_dim(cpad, i * T, S, axis=1)
+                    for i in range(nblk)
+                ],
+                axis=1,
+            )                                          # [B, nblk, S, D]
+            bslabs = jnp.stack(
+                [
+                    jax.lax.dynamic_slice_in_dim(bpad, i * T, S, axis=1)
+                    for i in range(nblk)
+                ],
+                axis=1,
+            )                                          # [B, nblk, S]
             scores = jnp.einsum(
-                "bld,bmd->blm", w_rows, c_rows,
+                "bntd,bnsd->bnts", wb, slabs,
                 preferred_element_type=jnp.float32,
-            ) + b_rows[:, None, :]
+            ) + bslabs[:, :, None, :]
             scores = _st_clip(scores, clip)
             pos_loss = (
                 (jax.nn.softplus(scores) - scores / (2 * w)) * pair_w
@@ -937,14 +1015,15 @@ class SkipGram(WalkBasedEmbedder):
         params["node_embedding"], _ = mean_scatter(
             params["node_embedding"], flat, g_w, lr
         )
-        idx_ctx = jnp.concatenate([flat, negs_flat])
+        # Context + negative contributions ride the segment API: one shared
+        # count multiset, segments scattered directly (no [ΣM, D] concat).
         params["context_embedding"], counts_ctx = mean_scatter(
-            params["context_embedding"], idx_ctx,
-            jnp.concatenate([g_c, g_neg]), lr,
+            params["context_embedding"], (flat, negs_flat),
+            (g_c, g_neg), lr,
         )
         params["context_bias"], _ = mean_scatter(
-            params["context_bias"], idx_ctx,
-            jnp.concatenate([g_b, g_nb]), lr, counts=counts_ctx,
+            params["context_bias"], (flat, negs_flat),
+            (g_b, g_nb), lr, counts=counts_ctx,
         )
         return params
 
@@ -1044,14 +1123,13 @@ class CBOW(WalkBasedEmbedder):
         params["node_embedding"], _ = mean_scatter(
             params["node_embedding"], flat, g_in, lr
         )
-        idx_out = jnp.concatenate([flat, negs_flat])
         params["output_embedding"], counts_out = mean_scatter(
-            params["output_embedding"], idx_out,
-            jnp.concatenate([g_out, g_neg]), lr,
+            params["output_embedding"], (flat, negs_flat),
+            (g_out, g_neg), lr,
         )
         params["output_bias"], _ = mean_scatter(
-            params["output_bias"], idx_out,
-            jnp.concatenate([g_ob, g_nb]), lr, counts=counts_out,
+            params["output_bias"], (flat, negs_flat),
+            (g_ob, g_nb), lr, counts=counts_out,
         )
         return params
 

@@ -86,15 +86,25 @@ def _mean_scatter_owned(shard, idx, grads, lr, axis, counts=None):
     k times in the (replicated, global) `idx` receives the AVERAGE of its k
     gradients, once, at full lr — applied only by the owning shard, no comm.
     Counts use only a [shard_rows] buffer, shared across same-idx tables via
-    the `counts` pass-back. Returns (updated_shard, counts)."""
-    local, ok = _owned(idx, shard.shape[0], axis)
-    okf = ok.astype(jnp.float32)
+    the `counts` pass-back. Returns (updated_shard, counts).
+
+    `idx`/`grads` may be tuples of aligned multiset segments (matching
+    `_mean_scatter`'s segment API): segments scatter directly, skipping
+    their concatenation."""
+    segs = idx if isinstance(idx, tuple) else (idx,)
+    gsegs = grads if isinstance(grads, tuple) else (grads,)
+    owned = [_owned(s, shard.shape[0], axis) for s in segs]
     if counts is None:
-        counts = jnp.zeros((shard.shape[0],), jnp.float32).at[local].add(okf)
-    scale = okf / jnp.maximum(counts[local], 1.0)
-    if grads.ndim > 1:
-        scale = scale[:, None]
-    return shard.at[local].add(-lr * grads * scale), counts
+        c = jnp.zeros((shard.shape[0],), jnp.float32)
+        for local, ok in owned:
+            c = c.at[local].add(ok.astype(jnp.float32))
+        counts = c
+    for (local, ok), g in zip(owned, gsegs):
+        scale = ok.astype(jnp.float32) / jnp.maximum(counts[local], 1.0)
+        if g.ndim > 1:
+            scale = scale[:, None]
+        shard = shard.at[local].add(-lr * g * scale)
+    return shard, counts
 
 
 class _RowShardView:
