@@ -39,10 +39,13 @@ from .walk_based import _mean_scatter
 class Update(NamedTuple):
     """One sparse (or dense) SGD update against a named parameter table.
 
-    idx: [M] int array of rows; or (static_prefix, [M] array) for stacked
-         tables indexed `table[prefix, rows]`; or None with mode="dense".
-    grad: [M, ...] gradients aligned with idx (dense table shape for
-         mode="dense"). Sum-semantics across batch slices.
+    idx: [M] int array of rows, or a tuple of aligned [Mi] arrays (multiset
+         SEGMENTS sharing one count multiset — see `_mean_scatter`); either
+         may be wrapped as (static_prefix, rows) for stacked tables indexed
+         `table[prefix, rows]`; or None with mode="dense".
+    grad: [M, ...] gradients aligned with idx (tuple of [Mi, ...] for
+         segments; dense table shape for mode="dense"). Sum-semantics
+         across batch slices.
     mode: "add"  — scatter-add -lr*grad (order-insensitive);
           "mean" — per-row mean accumulation at full lr (walk_based
                    `_mean_scatter` policy; counts computed over the full
@@ -56,6 +59,15 @@ class Update(NamedTuple):
     mode: str = "add"
 
 
+def _split_prefix(idx):
+    """(static_prefix, rows) -> (prefix, rows); plain rows -> (None, rows).
+    A stacked-table prefix is a static int; segment tuples contain only
+    index arrays, so the two tuple shapes are unambiguous."""
+    if isinstance(idx, tuple) and isinstance(idx[0], int):
+        return idx[0], idx[1]
+    return None, idx
+
+
 def apply_updates(
     params: Dict[str, Any], updates: List[Update], lr
 ) -> Dict[str, Any]:
@@ -63,28 +75,42 @@ def apply_updates(
         t = params[u.name]
         if u.mode == "dense":
             params[u.name] = t - lr * u.grad
-        elif u.mode == "mean":
-            params[u.name], _ = _mean_scatter(t, u.idx, u.grad, lr)
-        elif isinstance(u.idx, tuple):
-            params[u.name] = t.at[u.idx].add(-lr * u.grad)
+            continue
+        prefix, rows = _split_prefix(u.idx)
+        if u.mode == "mean":
+            if prefix is None:
+                params[u.name], _ = _mean_scatter(t, rows, u.grad, lr)
+            else:
+                sub, _ = _mean_scatter(t[prefix], rows, u.grad, lr)
+                params[u.name] = t.at[prefix].set(sub)
+        elif prefix is None:
+            params[u.name] = t.at[rows].add(-lr * u.grad)
         else:
-            params[u.name] = t.at[u.idx].add(-lr * u.grad)
+            params[u.name] = t.at[prefix, rows].add(-lr * u.grad)
     return params
 
 
 def gather_updates(updates: List[Update], axis: str) -> List[Update]:
     """Turn per-slice updates into the global update: all-gather sparse
-    payloads in axis order (tiled), psum dense grads."""
+    payloads in axis order (tiled), psum dense grads. Segment tuples
+    gather per segment (each stays aligned with its gathered grads)."""
+
+    def ag(a):
+        return lax.all_gather(a, axis, tiled=True)
+
     out = []
     for u in updates:
         if u.mode == "dense":
             out.append(u._replace(grad=lax.psum(u.grad, axis)))
             continue
-        idx = u.idx
-        arr = idx[1] if isinstance(idx, tuple) else idx
-        arr_g = lax.all_gather(arr, axis, tiled=True)
-        grad_g = lax.all_gather(u.grad, axis, tiled=True)
-        idx_g = (idx[0], arr_g) if isinstance(idx, tuple) else arr_g
+        prefix, rows = _split_prefix(u.idx)
+        if isinstance(rows, tuple):
+            rows_g = tuple(ag(a) for a in rows)
+            grad_g = tuple(ag(g) for g in u.grad)
+        else:
+            rows_g = ag(rows)
+            grad_g = ag(u.grad)
+        idx_g = rows_g if prefix is None else (prefix, rows_g)
         out.append(u._replace(idx=idx_g, grad=grad_g))
     return out
 

@@ -222,6 +222,13 @@ class WalkletsSkipGram(_WalkletsBase):
                 # positive, softplus for each of the walk's K negatives —
                 # identical per-pair semantics to the shared-negative
                 # formulation, only the negative identities moved per walk.
+                # The loss is a raw SUM over pairs; the mean-mode row
+                # update then gives every touched row one full-lr step on
+                # the AVERAGE of its pair-gradients (the `_mean_scatter`
+                # policy every other SGD family uses). Round-4 divided by
+                # the full pair count AND raw-added — an effective
+                # per-pair learning rate of lr/pairs that left Walklets at
+                # link-AUROC ~0.5 (untrained) on the quality-gate graph.
                 pos = jnp.sum(w_rows * c_rows, axis=-1) + cb     # [b, 2m]
                 neg = jnp.einsum(
                     "bmd,bkd->bmk", w_rows, n_rows,
@@ -230,7 +237,7 @@ class WalkletsSkipGram(_WalkletsBase):
                 return (
                     (jax.nn.softplus(pos) - pos).sum()
                     + jax.nn.softplus(neg).sum()
-                ) / n_full
+                )
 
             loss, grads = jax.value_and_grad(loss_fn, argnums=(0, 1, 2, 3, 4))(
                 emb[words], ctx[contexts], bias[contexts],
@@ -241,26 +248,20 @@ class WalkletsSkipGram(_WalkletsBase):
             updates += [
                 Update(
                     "node_embedding", (p_idx, words.reshape(-1)),
-                    g_w.reshape(-1, sub), "add",
+                    g_w.reshape(-1, sub), "mean",
                 ),
                 Update(
-                    "context_embedding", (p_idx, contexts.reshape(-1)),
-                    g_c.reshape(-1, sub), "add",
+                    "context_embedding",
+                    (p_idx, (contexts.reshape(-1), negs.reshape(-1))),
+                    (g_c.reshape(-1, sub), g_n.reshape(-1, sub)), "mean",
                 ),
                 Update(
-                    "context_embedding", (p_idx, negs.reshape(-1)),
-                    g_n.reshape(-1, sub), "add",
-                ),
-                Update(
-                    "context_bias", (p_idx, contexts.reshape(-1)),
-                    g_cb.reshape(-1), "add",
-                ),
-                Update(
-                    "context_bias", (p_idx, negs.reshape(-1)),
-                    g_nb.reshape(-1), "add",
+                    "context_bias",
+                    (p_idx, (contexts.reshape(-1), negs.reshape(-1))),
+                    (g_cb.reshape(-1), g_nb.reshape(-1)), "mean",
                 ),
             ]
-            total = total + loss
+            total = total + loss / n_full
         return total, updates
 
 
@@ -292,6 +293,7 @@ class WalkletsCBOW(_WalkletsBase):
 
             def loss_fn(c_rows, t_rows, t_b, n_rows, n_b):
                 # Sampled softmax, one true class vs the walk's K draws.
+                # Raw SUM + mean-mode row updates (see WalkletsSkipGram).
                 true_logit = jnp.sum(c_rows * t_rows, axis=-1) + t_b
                 neg_logits = jnp.einsum(
                     "bmd,bkd->bmk", c_rows, n_rows,
@@ -301,7 +303,7 @@ class WalkletsCBOW(_WalkletsBase):
                     [true_logit[..., None], neg_logits], axis=-1
                 )
                 per = -jax.nn.log_softmax(logits, axis=-1)[..., 0]
-                return per.sum() / n_full
+                return per.sum()
 
             loss, grads = jax.value_and_grad(loss_fn, argnums=(0, 1, 2, 3, 4))(
                 emb[contexts], out[words], bias[words], out[negs], bias[negs]
@@ -311,26 +313,20 @@ class WalkletsCBOW(_WalkletsBase):
             updates += [
                 Update(
                     "node_embedding", (p_idx, contexts.reshape(-1)),
-                    g_c.reshape(-1, sub), "add",
+                    g_c.reshape(-1, sub), "mean",
                 ),
                 Update(
-                    "context_embedding", (p_idx, words.reshape(-1)),
-                    g_t.reshape(-1, sub), "add",
+                    "context_embedding",
+                    (p_idx, (words.reshape(-1), negs.reshape(-1))),
+                    (g_t.reshape(-1, sub), g_n.reshape(-1, sub)), "mean",
                 ),
                 Update(
-                    "context_embedding", (p_idx, negs.reshape(-1)),
-                    g_n.reshape(-1, sub), "add",
-                ),
-                Update(
-                    "context_bias", (p_idx, words.reshape(-1)),
-                    g_tb.reshape(-1), "add",
-                ),
-                Update(
-                    "context_bias", (p_idx, negs.reshape(-1)),
-                    g_nb.reshape(-1), "add",
+                    "context_bias",
+                    (p_idx, (words.reshape(-1), negs.reshape(-1))),
+                    (g_tb.reshape(-1), g_nb.reshape(-1)), "mean",
                 ),
             ]
-            total = total + loss
+            total = total + loss / n_full
         return total, updates
 
 
