@@ -96,16 +96,23 @@ class AbstractEdgePredictionModel(AbstractClassifierModel):
                 "look optimistic (reference warning, "
                 "edge_prediction_model.py:143-153)."
             )
+        import time as _time
+
         support = support or train
         rows = []
+        t0 = _time.perf_counter()
         train_scores = self.predict_proba(train, support=support)
+        predict_pos_s = {"train": _time.perf_counter() - t0}
+        t0 = _time.perf_counter()
         test_scores = self.predict_proba(test, support=support)
+        predict_pos_s["test"] = _time.perf_counter() - t0
         for unbalance in unbalance_rates:
             for split, pos_scores, pos_graph, seed_off in (
                 ("train", train_scores, train, 0),
                 ("test", test_scores, test, 1),
             ):
                 n_neg = max(1, int(round(pos_graph.number_of_edges * unbalance)))
+                t0 = _time.perf_counter()
                 neg = sample_negative_graph(
                     subgraph_of_interest
                     if subgraph_of_interest is not None else graph,
@@ -114,18 +121,30 @@ class AbstractEdgePredictionModel(AbstractClassifierModel):
                     use_scale_free_distribution=use_scale_free_distribution,
                     support=graph,
                 )
+                neg_sample_s = _time.perf_counter() - t0
+                t0 = _time.perf_counter()
                 neg_scores = self.predict_proba(neg, support=support)
+                predict_neg_s = _time.perf_counter() - t0
                 labels = np.concatenate(
                     [np.ones(len(pos_scores)), np.zeros(len(neg_scores))]
                 )
                 scores = np.concatenate([pos_scores, neg_scores])
+                t0 = _time.perf_counter()
                 metrics = self.evaluate_prediction_probabilities(labels, scores)
+                metrics_s = _time.perf_counter() - t0
                 metrics.update(
                     {
                         "evaluation_mode": split,
                         "unbalance_rate": unbalance,
                         "size_of_positive_set": len(pos_scores),
                         "size_of_negative_set": len(neg_scores),
+                        # Per-phase decomposition of the evaluation wall
+                        # time (reference per-phase timing discipline,
+                        # `abstract_classifier_model.py:2904-2915`).
+                        "predict_positive_seconds": predict_pos_s[split],
+                        "negative_sampling_seconds": neg_sample_s,
+                        "predict_negative_seconds": predict_neg_s,
+                        "metrics_seconds": metrics_s,
                     }
                 )
                 rows.append(metrics)
