@@ -412,7 +412,7 @@ class _EdgeGCNBase(AbstractClassifierModel):
         )
 
     def _chunked_logits(
-        self, src: np.ndarray, dst: np.ndarray, chunk: int = 1 << 20,
+        self, src: np.ndarray, dst: np.ndarray, chunk: int = 1 << 22,
         representation: bool = False,
     ) -> np.ndarray:
         """Inference logits for an arbitrary candidate set: the convolution
@@ -420,11 +420,16 @@ class _EdgeGCNBase(AbstractClassifierModel):
         (last chunk padded) so a 10M-arc train graph — or a full bipartite
         candidate set — never materializes [E, H] tower activations at once
         (the reference chunks inference at 2^15 edges,
-        `sklearn_like_edge_prediction_adapter.py:17-88`; 2^20 keeps the TPU
-        fed). Graph-sized tables ride the ctx ARGUMENT path."""
+        `sklearn_like_edge_prediction_adapter.py:17-88`; 2^22 keeps the TPU
+        fed AND bounds per-chunk dispatch+sync round trips, which dominate
+        through the remote tunnel). Graph-sized tables ride the ctx
+        ARGUMENT path."""
         src = np.asarray(src, np.int32)
         dst = np.asarray(dst, np.int32)
         n = len(src)
+        # Power-of-two chunk bucket (see perceptron._chunked): bounds the
+        # number of compiled shapes across arbitrary candidate-set sizes.
+        chunk = min(chunk, 1 << max(int(np.ceil(np.log2(max(n, 1)))), 6))
         ctx = self._train_ctx(self._kernels_coo, None)
         ctx.pop("dg", None)
         # Jitted closures are cached per instance (weakly, NOT as attrs —
@@ -464,12 +469,6 @@ class _EdgeGCNBase(AbstractClassifierModel):
         else:
             h = encode(self._params, ctx)
             _PREDICT_H[self] = (self._params, h)
-        if n <= chunk:
-            return np.asarray(
-                score(
-                    self._params, h, jnp.asarray(src), jnp.asarray(dst), ctx
-                )
-            )
         outs = []
         for i in range(0, n, chunk):
             s = src[i:i + chunk]

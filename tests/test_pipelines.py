@@ -220,3 +220,31 @@ def test_subgraph_of_interest_empty_raises(er_graph):
             random_state=3,
             subgraph_of_interest=sub,
         )
+
+
+def test_subgraph_use_as_support_and_model_level_evaluate(er_graph):
+    """`use_subgraph_as_support=True` fits with the restricted train as its
+    own support (reference `use_subgraph_as_support`,
+    `abstract_classifier_model.py:2271-2284`); the model-level
+    `evaluate()` verb forwards subgraph kwargs too."""
+    g = er_graph
+    nt = g.get_single_label_node_type_ids()
+    mask = ((nt[g.sources] == 0) & (nt[g.col_idx] == 1)) | (
+        (nt[g.sources] == 1) & (nt[g.col_idx] == 0)
+    )
+    sub = g.filter_edges(mask, name="type01")
+
+    model = PerceptronEdgePrediction(
+        edge_features=["Degree"], number_of_epochs=20, random_state=0
+    )
+    df = model.evaluate(
+        g,
+        evaluation_schema="Connected Monte Carlo",
+        holdouts_number=1,
+        random_state=3,
+        subgraph_of_interest=sub,
+        use_subgraph_as_support=True,
+    )
+    assert len(df) == 2
+    assert (df["size_of_positive_set"] <= sub.number_of_directed_edges).all()
+    assert np.isfinite(df["auprc"]).all()
