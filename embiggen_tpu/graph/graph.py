@@ -590,6 +590,47 @@ class Graph(ReferenceGraphAPI):
         dst = np.asarray(dst, dtype=np.int64)
         if n_nodes is None:
             n_nodes = int(max(src.max(initial=-1), dst.max(initial=-1)) + 1)
+        if (
+            not directed and weights is None and edge_types is None
+            and deduplicate and len(src)
+        ):
+            # Unweighted untyped undirected dedup build — the hot
+            # constructor of negative-sample and holdout graphs — fuses
+            # symmetrize + per-row sort + dedup in one native pass
+            # (~5x the numpy concat/sort/dedup pipeline at 20M pairs).
+            from .. import native
+
+            built = native.build_sym_csr(src, dst, n_nodes)
+            if built is not None:
+                row_ptr, col_idx = built
+                return Graph(
+                    row_ptr=row_ptr,
+                    col_idx=col_idx,
+                    directed=(
+                        directed if directed_flag is None else directed_flag
+                    ),
+                    name=name,
+                    node_names=(
+                        None if node_names is None
+                        else np.asarray(node_names, dtype=object)
+                    ),
+                    node_type_ptr=(
+                        None if node_type_ptr is None
+                        else np.asarray(node_type_ptr)
+                    ),
+                    node_type_ids=(
+                        None if node_type_ids is None
+                        else np.asarray(node_type_ids)
+                    ),
+                    node_type_names=(
+                        None if node_type_names is None
+                        else np.asarray(node_type_names, dtype=object)
+                    ),
+                    edge_type_names=(
+                        None if edge_type_names is None
+                        else np.asarray(edge_type_names, dtype=object)
+                    ),
+                )
         if not directed:
             non_loop = src != dst
             src_all = np.concatenate([src, dst[non_loop]])

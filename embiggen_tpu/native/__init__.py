@@ -152,6 +152,12 @@ def get_lib() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
         ctypes.c_int, ctypes.POINTER(ctypes.c_double),
     ]
+    lib.build_sym_csr.restype = ctypes.c_int64
+    lib.build_sym_csr.argtypes = [
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ctypes.c_int64, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
+    ]
     _lib = lib
     return _lib
 
@@ -316,6 +322,29 @@ def sort_pairs(src: np.ndarray, dst: np.ndarray, n_nodes: int):
         order.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
     )
     return order
+
+
+def build_sym_csr(src: np.ndarray, dst: np.ndarray, n_nodes: int):
+    """Fused symmetrize + per-row sort + dedup CSR build for unweighted,
+    untyped undirected graphs (the negative-sample / generator hot path).
+    Returns (row_ptr int64[N+1], col_idx int32[arcs]) or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    src = np.ascontiguousarray(src, dtype=np.int32)
+    dst = np.ascontiguousarray(dst, dtype=np.int32)
+    n_pairs = src.shape[0]
+    row_ptr = np.empty(n_nodes + 1, dtype=np.int64)
+    col_idx = np.empty(max(2 * n_pairs, 1), dtype=np.int32)
+    n_arcs = lib.build_sym_csr(
+        src.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        dst.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ctypes.c_int64(n_pairs),
+        ctypes.c_int64(int(n_nodes)),
+        row_ptr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        col_idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    return row_ptr, col_idx[:n_arcs].copy()
 
 
 def radix_argsort(keys: np.ndarray):

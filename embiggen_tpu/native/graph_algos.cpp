@@ -7,6 +7,7 @@
 // the reference engine does the equivalent sampling setup inside its Rust
 // walk kernel (reference call site
 // embiggen/sequences/node2vec_sequence.py:190-203).
+#include <algorithm>
 #include <cstdint>
 #include <cmath>
 #include <thread>
@@ -582,6 +583,86 @@ extern "C" void radix_argsort_u64(
     std::swap(src_o, dst_o);
   }
   if (src_o != order) std::copy(src_o, src_o + n, order);
+}
+
+}  // extern "C"
+
+// Fused symmetrize + counting-sort + dedup CSR builder for unweighted,
+// untyped undirected graphs — the hot constructor of negative-sample and
+// holdout graphs (Python `Graph.from_edge_arrays` spent ~16 s per 20M-pair
+// negative graph on concat/sort/dedup numpy passes; this does the whole
+// build in two passes plus a parallel per-row sort).
+extern "C" {
+
+// src/dst: n_pairs arbitrary arcs (both-direction duplicates fine).
+// Writes row_ptr [n_nodes+1] and col_idx [<= 2*n_pairs] (symmetrized,
+// per-row sorted, deduplicated). Returns the final arc count.
+int64_t build_sym_csr(const int32_t* src, const int32_t* dst,
+                      int64_t n_pairs, int64_t n_nodes,
+                      int64_t* row_ptr, int32_t* col_idx) {
+  std::vector<int64_t> counts(n_nodes + 1, 0);
+  for (int64_t i = 0; i < n_pairs; ++i) {
+    counts[src[i] + 1]++;
+    if (src[i] != dst[i]) counts[dst[i] + 1]++;
+  }
+  for (int64_t r = 0; r < n_nodes; ++r) counts[r + 1] += counts[r];
+  // counts now holds the row starts of the RAW (pre-dedup) layout.
+  std::vector<int64_t> cursor(counts.begin(), counts.end() - 1);
+  const int64_t raw_arcs = counts[n_nodes];
+  std::vector<int32_t> raw(raw_arcs);
+  for (int64_t i = 0; i < n_pairs; ++i) {
+    raw[cursor[src[i]]++] = dst[i];
+    if (src[i] != dst[i]) raw[cursor[dst[i]]++] = src[i];
+  }
+  // Parallel per-row sort + in-row dedup into per-row unique counts.
+  int n_threads = (int)std::thread::hardware_concurrency();
+  if (n_threads < 1) n_threads = 1;
+  if (n_nodes < 4096) n_threads = 1;
+  std::vector<int64_t> uniq(n_nodes, 0);
+  auto worker = [&](int64_t r0, int64_t r1) {
+    for (int64_t r = r0; r < r1; ++r) {
+      int32_t* beg = raw.data() + counts[r];
+      int32_t* end = raw.data() + counts[r + 1];
+      std::sort(beg, end);
+      uniq[r] = std::unique(beg, end) - beg;
+    }
+  };
+  if (n_threads == 1) {
+    worker(0, n_nodes);
+  } else {
+    std::vector<std::thread> threads;
+    const int64_t chunk = (n_nodes + n_threads - 1) / n_threads;
+    for (int t = 0; t < n_threads; ++t) {
+      const int64_t r0 = t * chunk;
+      const int64_t r1 = std::min(n_nodes, r0 + chunk);
+      if (r0 >= r1) break;
+      threads.emplace_back(worker, r0, r1);
+    }
+    for (auto& th : threads) th.join();
+  }
+  row_ptr[0] = 0;
+  for (int64_t r = 0; r < n_nodes; ++r) row_ptr[r + 1] = row_ptr[r] + uniq[r];
+  // Compact the deduped rows into col_idx (parallel: disjoint ranges).
+  auto compact = [&](int64_t r0, int64_t r1) {
+    for (int64_t r = r0; r < r1; ++r) {
+      std::copy(raw.data() + counts[r], raw.data() + counts[r] + uniq[r],
+                col_idx + row_ptr[r]);
+    }
+  };
+  if (n_threads == 1) {
+    compact(0, n_nodes);
+  } else {
+    std::vector<std::thread> threads;
+    const int64_t chunk = (n_nodes + n_threads - 1) / n_threads;
+    for (int t = 0; t < n_threads; ++t) {
+      const int64_t r0 = t * chunk;
+      const int64_t r1 = std::min(n_nodes, r0 + chunk);
+      if (r0 >= r1) break;
+      threads.emplace_back(compact, r0, r1);
+    }
+    for (auto& th : threads) th.join();
+  }
+  return row_ptr[n_nodes];
 }
 
 }  // extern "C"
