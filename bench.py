@@ -298,6 +298,36 @@ def main():
         families[f"{name}_train_triples_per_s"] = round(fam_batch / dt)
         _mark(f'{name} done')
 
+    # Walklets SkipGram: reuses the same device graph; per step it trains
+    # 2*(L-p) banded pairs per walk per power p (both directions).
+    from embiggen_tpu.models.embedders import WalkletsSkipGram
+
+    wl = WalkletsSkipGram(
+        embedding_size=128, epochs=1, batch_size=train_batch, walk_length=64,
+        window_size=4, number_of_negative_samples=10, random_state=0,
+    )
+    dt = family_chain(wl, dg, wl._init_params(graph, key))
+    wl_pairs = train_batch * sum(2 * (64 - p) for p in range(1, 5))
+    families["walklets_train_pairs_per_s"] = round(wl_pairs / dt)
+    _mark('walklets done')
+
+    # GloVe: host co-occurrence build (timed separately — a real phase of
+    # the production fit) + weighted-LS SGD over the entries.
+    from embiggen_tpu.models.embedders import GloVe
+
+    gl = GloVe(
+        embedding_size=128, epochs=1, batch_size=fam_batch, walk_length=32,
+        window_size=2, iterations=1, random_state=0,
+    )
+    gl._run_batch_size = fam_batch
+    t0 = time.perf_counter()
+    gl_ctx = gl._prepare_data(graph)
+    families["glove_cooc_build_s"] = round(time.perf_counter() - t0, 2)
+    dt = family_chain(gl, gl_ctx, gl._init_params(graph, key))
+    families["glove_train_entries_per_s"] = round(fam_batch / dt)
+    del gl_ctx
+    _mark('glove done')
+
     # --- SpMM edges/s: K chained multiplies inside one jit, through the
     # production single-K ELLPACK path GCNEncoder uses (spmm_padded). The
     # slow COO segment-sum path is also measured for reference.
@@ -450,7 +480,13 @@ def main():
             "eval_total_s": round(harness_total_s, 2),
             "eval_negative_sampling_s": round(neg_sample_s, 2),
             "eval_split_s": round(float(one["split_time"].max()), 2),
-            "eval_feature_s": round(float(one["feature_time"].sum()), 2),
+            # max, not sum: the holdout memo computes the deferred SkipGram
+            # feature ONCE and shares it across models — every model's row
+            # carries the same feature_time, so summing double-counted it
+            # (BENCH_r04's 427 s / the first r05 run's 342 s were ~2x the
+            # real embed time). With max the phase columns sum to
+            # eval_total_s.
+            "eval_feature_s": round(float(one["feature_time"].max()), 2),
             "eval_fit_s": round(float(one["fit_time"].sum()), 2),
             "eval_predict_metrics_s": round(
                 float(one["evaluation_time"].sum()), 2
