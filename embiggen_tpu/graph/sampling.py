@@ -89,11 +89,21 @@ def _sample_negative_graph(
 
     got_src: list = []
     got_dst: list = []
+    # Sorted canonical keys of the pairs kept so far: top-up rounds reject
+    # re-draws of already-kept pairs, so the returned edge set is globally
+    # duplicate-free (rounds used to dedupe only within themselves).
+    kept_keys: Optional[np.ndarray] = None
     needed = number_of_negative_samples
+    # Adaptive oversampling: attrition (self-loops + existing edges +
+    # in-batch duplicates) is graph-dependent — ~0.004% on the 1M-node
+    # bench graph, where the old fixed 1.5x margin drew (and membership-
+    # checked, sorted, deduped) 10M pairs it then threw away. Start near
+    # 1x and size any top-up round from the measured survival rate.
+    oversample = 1.05
     for _ in range(max_rounds):
         if needed <= 0:
             break
-        batch = max(1024, int(needed * 1.5))
+        batch = max(1024, int(needed * oversample) + 64)
         if scale_free:
             src = arc_dst[rng.integers(0, n_arcs, size=batch)].astype(
                 np.int64
@@ -106,34 +116,41 @@ def _sample_negative_graph(
             dst = rng.integers(0, n, size=batch)
         ok = src != dst
         ok &= ~support.has_edges_fast(src, dst)
-        if not graph.directed:
+        if not graph.directed and support.directed:
+            # An undirected support stores both arc directions, so its
+            # membership test is already symmetric — the reverse check is
+            # only needed when avoiding a DIRECTED support's edges.
             ok &= ~support.has_edges_fast(dst, src)
         src, dst = src[ok], dst[ok]
-        # dedupe within batch (canonical order for undirected); radix-based
-        # first-occurrence extraction when the native lib is available
-        # (np.unique on 15M keys is a ~5 s comparison sort at bench scale)
         if not graph.directed:
-            lo, hi = np.minimum(src, dst), np.maximum(src, dst)
-        else:
-            lo, hi = src, dst
+            src, dst = np.minimum(src, dst), np.maximum(src, dst)
+        key = src * np.int64(n) + dst
+        if kept_keys is not None and len(kept_keys):
+            pos = np.searchsorted(kept_keys, key)
+            pos = np.minimum(pos, len(kept_keys) - 1)
+            fresh = kept_keys[pos] != key
+            src, dst, key = src[fresh], dst[fresh], key[fresh]
+        # In-batch dedup: fused native counting-sort + first-occurrence
+        # extraction (the numpy gather/compare/fancy-index pipeline cost
+        # ~3.7 s per 27M pairs at bench scale).
         from .. import native
 
-        order = native.sort_pairs(lo, hi, n)
-        if order is not None:
-            ls, hs = lo[order], hi[order]
-            first = order[
-                np.concatenate(
-                    [[True], (ls[1:] != ls[:-1]) | (hs[1:] != hs[:-1])]
-                )
-            ]
-        else:
-            key = lo.astype(np.int64) * n + hi
+        first = native.sort_unique_pairs(src, dst, n)
+        if first is None:
             _, first = np.unique(key, return_index=True)
-        src, dst = lo[first], hi[first]
-        take = min(needed, len(src))
-        got_src.append(src[:take])
-        got_dst.append(dst[:take])
+        survival = len(first) / batch
+        take = min(needed, len(first))
+        first = first[:take]
+        got_src.append(src[first])
+        got_dst.append(dst[first])
         needed -= take
+        if needed > 0:
+            oversample = 1.1 / max(survival, 0.02)
+            new_keys = key[first]  # already sorted (sorted-pair order)
+            kept_keys = (
+                new_keys if kept_keys is None
+                else np.sort(np.concatenate([kept_keys, new_keys]))
+            )
     src = np.concatenate(got_src) if got_src else np.zeros(0, dtype=np.int64)
     dst = np.concatenate(got_dst) if got_dst else np.zeros(0, dtype=np.int64)
     return Graph.from_edge_arrays(

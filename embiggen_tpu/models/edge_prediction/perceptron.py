@@ -267,10 +267,13 @@ class PerceptronEdgePrediction(AbstractEdgePredictionModel):
         x_neg = self._chunked(
             feat_fn, support, neg.sources, neg.col_idx, to_host=False
         )
-        xd_raw = jnp.concatenate([x_pos, x_neg])
-        mean = xd_raw.mean(axis=0)
-        std = jnp.maximum(xd_raw.std(axis=0), 1e-6)
-        xd = (xd_raw - mean) / std
+        xd = jnp.concatenate([x_pos, x_neg])
+        mean = xd.mean(axis=0)
+        std = jnp.maximum(xd.std(axis=0), 1e-6)
+        # Normalization is folded into the epoch kernel per mini-batch:
+        # materializing a second normalized [2E, F] copy cost two extra
+        # GB-scale HBM passes (+~1 GB live) at bench scale for work the
+        # batch path does in microseconds.
         yd = jnp.concatenate(
             [
                 jnp.ones((len(x_pos),), jnp.float32),
@@ -293,11 +296,12 @@ class PerceptronEdgePrediction(AbstractEdgePredictionModel):
         # compile backends (first observed by the bench-scale evaluation
         # harness run, VERDICT r3 item 4).
         @jax.jit
-        def epoch(xd, yd, w, b, k, lr):
+        def epoch(xd, yd, mean, std, w, b, k, lr):
             def body(carry, kk):
                 w, b = carry
                 idx = jax.random.randint(kk, (batch,), 0, n)
-                xb, yb = xd[idx], yd[idx]
+                xb = (xd[idx] - mean) / std
+                yb = yd[idx]
 
                 def loss_fn(w, b):
                     logits = xb @ w + b
@@ -318,7 +322,8 @@ class PerceptronEdgePrediction(AbstractEdgePredictionModel):
         lr = self._learning_rate
         for e in range(self._number_of_epochs):
             w, b, loss = epoch(
-                xd, yd, w, b, jax.random.fold_in(key, e), jnp.float32(lr)
+                xd, yd, mean, std, w, b, jax.random.fold_in(key, e),
+                jnp.float32(lr),
             )
             lr *= self._learning_rate_decay
         self._w = np.asarray(w)

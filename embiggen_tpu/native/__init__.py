@@ -139,6 +139,11 @@ def get_lib() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
         ctypes.c_int64, ctypes.c_int64, ctypes.POINTER(ctypes.c_int64),
     ]
+    lib.sort_unique_pairs.restype = ctypes.c_int64
+    lib.sort_unique_pairs.argtypes = [
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int64, ctypes.c_int64, ctypes.POINTER(ctypes.c_int64),
+    ]
     lib.radix_argsort_u64.restype = None
     lib.radix_argsort_u64.argtypes = [
         ctypes.POINTER(ctypes.c_uint64), ctypes.c_int64,
@@ -322,6 +327,26 @@ def sort_pairs(src: np.ndarray, dst: np.ndarray, n_nodes: int):
         order.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
     )
     return order
+
+
+def sort_unique_pairs(src: np.ndarray, dst: np.ndarray, n_nodes: int):
+    """Original indices of the first occurrence of each distinct (src, dst)
+    pair, in sorted pair order (fused counting sort + adjacent-run dedup).
+    Returns int64[k] or None when the native lib is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    src = np.ascontiguousarray(src, dtype=np.int64)
+    dst = np.ascontiguousarray(dst, dtype=np.int64)
+    first = np.empty(src.shape[0], dtype=np.int64)
+    k = lib.sort_unique_pairs(
+        src.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        dst.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        ctypes.c_int64(src.shape[0]),
+        ctypes.c_int64(int(n_nodes)),
+        first.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    return first[:k].copy()
 
 
 def build_sym_csr(src: np.ndarray, dst: np.ndarray, n_nodes: int):

@@ -547,6 +547,43 @@ extern "C" void counting_sort_pairs(
   }
 }
 
+// Fused counting-sort + first-occurrence extraction over (src, dst)
+// pairs: writes into first_idx (capacity e) the ORIGINAL indices of the
+// first occurrence of each distinct pair, in sorted pair order, and
+// returns the distinct count. The stable two-pass sort guarantees the
+// first original occurrence leads each equal run, so callers keep
+// reproducible draws. Replaces the numpy pipeline
+// (ls/hs gathers + adjacent-comparison mask + fancy index: ~3.7 s at 27M
+// pairs on the bench host) with one extra sequential pass.
+extern "C" int64_t sort_unique_pairs(
+    const int64_t* src, const int64_t* dst, int64_t e, int64_t n_nodes,
+    int64_t* first_idx) {
+  std::vector<int64_t> perm1(e);
+  std::vector<int64_t> order(e);
+  std::vector<int64_t> counts(n_nodes + 1, 0);
+  for (int64_t i = 0; i < e; ++i) counts[dst[i] + 1]++;
+  for (int64_t v = 0; v < n_nodes; ++v) counts[v + 1] += counts[v];
+  for (int64_t i = 0; i < e; ++i) perm1[counts[dst[i]]++] = i;
+  std::fill(counts.begin(), counts.end(), 0);
+  for (int64_t i = 0; i < e; ++i) counts[src[i] + 1]++;
+  for (int64_t v = 0; v < n_nodes; ++v) counts[v + 1] += counts[v];
+  for (int64_t i = 0; i < e; ++i) {
+    const int64_t j = perm1[i];
+    order[counts[src[j]]++] = j;
+  }
+  int64_t out = 0;
+  int64_t prev_s = -1, prev_d = -1;
+  for (int64_t i = 0; i < e; ++i) {
+    const int64_t j = order[i];
+    if (src[j] != prev_s || dst[j] != prev_d) {
+      first_idx[out++] = j;
+      prev_s = src[j];
+      prev_d = dst[j];
+    }
+  }
+  return out;
+}
+
 // LSD radix argsort of uint64 keys (stable). Passes whose byte is constant
 // across all keys are skipped, so small-universe keys (src * n + dst with
 // n ~ 1M uses ~5 of 8 passes) sort in O(passes * n) sequential memory
