@@ -215,6 +215,11 @@ class PerceptronEdgePrediction(AbstractEdgePredictionModel):
         # (a ~10 s recompile per holdout split through the tunnel).
         chunk = min(self.CHUNK, 1 << max(int(np.ceil(np.log2(max(n, 1)))), 6))
         outs = []
+        # Dispatch-ahead pipeline (to_host): jax dispatch is async, so
+        # keeping a few chunks in flight overlaps chunk i's D2H download
+        # (the slow tunnel direction, ~25 MB/s) with chunk i+1/i+2's
+        # device compute instead of strictly alternating them.
+        pending: list = []
         for i in range(0, n, chunk):
             s = src[i:i + chunk]
             d = dst[i:i + chunk]
@@ -223,7 +228,15 @@ class PerceptronEdgePrediction(AbstractEdgePredictionModel):
                 s = np.pad(s, (0, chunk - take))
                 d = np.pad(d, (0, chunk - take))
             out = fn(dg, feats, jnp.asarray(s), jnp.asarray(d), *extra)
-            outs.append(np.asarray(out)[:take] if to_host else out[:take])
+            if not to_host:
+                outs.append(out[:take])
+                continue
+            pending.append((out, take))
+            if len(pending) >= 3:
+                done, tk = pending.pop(0)
+                outs.append(np.asarray(done)[:tk])
+        for done, tk in pending:
+            outs.append(np.asarray(done)[:tk])
         if not outs:
             return (
                 np.zeros((0,), np.float32) if to_host

@@ -273,7 +273,9 @@ class WalkBasedEmbedder(AbstractEmbeddingModel):
         """Extraction-time post-processing: `normalize_by_degree` divides
         each node's embedding row by its degree (reference Rust trainer
         flag, `node2vec_skipgram.py:27`)."""
-        table = np.asarray(table)
+        from ...utils.transfer import pull_to_host
+
+        table = pull_to_host(table)
         if self._normalize_by_degree:
             deg = np.maximum(graph.degrees.astype(np.float32), 1.0)
             table = table / deg[(...,) + (None,) * (table.ndim - 1)]

@@ -470,6 +470,12 @@ class _EdgeGCNBase(AbstractClassifierModel):
             h = encode(self._params, ctx)
             _PREDICT_H[self] = (self._params, h)
         outs = []
+        # Dispatch-ahead pipeline: keep a couple of chunks in flight so a
+        # chunk's logit download (D2H is the slow tunnel direction)
+        # overlaps the next chunk's tower compute. The window is small
+        # because representation=True outputs are [chunk, H] — an
+        # unbounded queue would hold the whole candidate set on device.
+        pending: list = []
         for i in range(0, n, chunk):
             s = src[i:i + chunk]
             d = dst[i:i + chunk]
@@ -480,7 +486,12 @@ class _EdgeGCNBase(AbstractClassifierModel):
             out = score(
                 self._params, h, jnp.asarray(s), jnp.asarray(d), ctx
             )
-            outs.append(np.asarray(out)[:take])
+            pending.append((out, take))
+            if len(pending) >= 3:
+                done, tk = pending.pop(0)
+                outs.append(np.asarray(done)[:tk])
+        for done, tk in pending:
+            outs.append(np.asarray(done)[:tk])
         return np.concatenate(outs, axis=0)
 
     def _score_edges(self, params, h, src, dst, edge_types=None, ctx=None,
