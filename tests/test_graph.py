@@ -360,3 +360,38 @@ def test_planted_partition_edges_scalable_generator():
     within = (comm[g.sources] == comm[g.col_idx]).mean()
     assert 0.75 < within < 0.85
     assert g.number_of_node_types == 5
+
+
+def test_negative_sampler_no_duplicates_across_rounds():
+    """Requesting most of a small graph's non-edges forces many top-up
+    rounds; the result must still be globally duplicate-free, never a
+    positive edge, and exactly the requested size (top-up rounds used to
+    dedupe only within themselves)."""
+    import numpy as np
+
+    from embiggen_tpu.graph.generators import erdos_renyi
+    from embiggen_tpu.graph.sampling import _sample_negative_graph
+
+    g = erdos_renyi(300, 4000, seed=5)
+    non_edges = 300 * 299 // 2 - (g.number_of_directed_edges // 2)
+    want = int(non_edges * 0.9)
+    neg = _sample_negative_graph(g, want, 9, True, g, 256)
+    s, d = neg.sources, neg.col_idx
+    assert not g.has_edges_fast(s.astype(np.int64), d.astype(np.int64)).any()
+    canon = np.minimum(s, d).astype(np.int64) * 300 + np.maximum(s, d)
+    canon = canon[s < d]
+    assert len(canon) == want
+    assert len(np.unique(canon)) == want
+
+
+def test_pull_to_host_matches_asarray():
+    import jax
+    import numpy as np
+
+    from embiggen_tpu.utils.transfer import pull_to_host
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (70_000, 128))
+    np.testing.assert_array_equal(pull_to_host(x, streams=8), np.asarray(x))
+    host = np.ones((4, 3))
+    assert pull_to_host(host) is not host or True  # plain ndarray path runs
+    np.testing.assert_array_equal(pull_to_host(host), host)

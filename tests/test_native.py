@@ -155,3 +155,26 @@ def test_native_spanning_forest_matches_python(karate):
     finally:
         native.spanning_forest = real
     np.testing.assert_array_equal(mask_native, mask_py)
+
+
+def test_native_sort_unique_pairs():
+    """Fused sort+first-occurrence extraction matches np.unique semantics:
+    indices of the first occurrence of each distinct pair, in sorted pair
+    order (the negative sampler's in-batch dedup)."""
+    import numpy as np
+
+    from embiggen_tpu import native
+
+    if native.get_lib() is None:
+        import pytest
+
+        pytest.skip("native lib unavailable")
+    rng = np.random.default_rng(11)
+    n = 300
+    src = rng.integers(0, n, 50000).astype(np.int64)
+    dst = rng.integers(0, n, 50000).astype(np.int64)
+    first = native.sort_unique_pairs(src, dst, n)
+    key = src * n + dst
+    uniq_keys, np_first = np.unique(key, return_index=True)
+    np.testing.assert_array_equal(first, np_first)
+    np.testing.assert_array_equal(key[first], uniq_keys)
