@@ -315,8 +315,10 @@ def main():
     # the production fit) + weighted-LS SGD over the entries.
     from embiggen_tpu.models.embedders import GloVe
 
+    # walk_length 16 bounds the host pair-sort at ~58M entries (1M nodes);
+    # the SGD entries/s number is config-independent.
     gl = GloVe(
-        embedding_size=128, epochs=1, batch_size=fam_batch, walk_length=32,
+        embedding_size=128, epochs=1, batch_size=fam_batch, walk_length=16,
         window_size=2, iterations=1, random_state=0,
     )
     gl._run_batch_size = fam_batch
