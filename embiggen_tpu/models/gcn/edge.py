@@ -475,6 +475,10 @@ class _EdgeGCNBase(AbstractClassifierModel):
         # overlaps the next chunk's tower compute. The window is small
         # because representation=True outputs are [chunk, H] — an
         # unbounded queue would hold the whole candidate set on device.
+        # Logit chunks are [chunk, 1]; representation chunks are
+        # [chunk, H] (~2 GB at chunk=2^22, H=128), so keep at most one
+        # of those in flight beyond the current dispatch.
+        window = 2 if representation else 3
         pending: list = []
         for i in range(0, n, chunk):
             s = src[i:i + chunk]
@@ -487,7 +491,7 @@ class _EdgeGCNBase(AbstractClassifierModel):
                 self._params, h, jnp.asarray(s), jnp.asarray(d), ctx
             )
             pending.append((out, take))
-            if len(pending) >= 3:
+            if len(pending) >= window:
                 done, tk = pending.pop(0)
                 outs.append(np.asarray(done)[:tk])
         for done, tk in pending:
