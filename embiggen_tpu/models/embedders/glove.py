@@ -138,9 +138,26 @@ class GloVe(MinibatchEmbedder):
             weights.append(w)
         keys = np.concatenate(keys)
         weights = np.concatenate(weights)
-        order = np.argsort(keys, kind="stable")
+        if len(keys) == 0:
+            return (
+                np.zeros(0, np.int32), np.zeros(0, np.int32),
+                np.zeros(0, np.float32),
+            )
+        # Native LSD radix argsort (~5x numpy's comparison sort at the
+        # bench host's 58M keys), then boundary-mask aggregation — the
+        # old np.unique(sorted_keys) paid a SECOND full comparison sort
+        # for data already in order.
+        from ... import native
+
+        order = native.radix_argsort(keys)
+        if order is None:
+            order = np.argsort(keys, kind="stable")
         keys, weights = keys[order], weights[order]
-        uniq, start_idx = np.unique(keys, return_index=True)
+        boundary = np.empty(len(keys), dtype=bool)
+        boundary[0] = True
+        np.not_equal(keys[1:], keys[:-1], out=boundary[1:])
+        start_idx = np.flatnonzero(boundary)
+        uniq = keys[start_idx]
         sums = np.add.reduceat(weights, start_idx)
         centers = (uniq // v).astype(np.int32)
         contexts = (uniq % v).astype(np.int32)
